@@ -1,0 +1,55 @@
+"""Tile-catalog access: the materialized tiles-per-zone relation.
+
+Built once by scripts/prepare_data.py (tiles of each standard level
+whose square intersects the projected zone polygon — the reference
+computes these on the fly from its TMS, reference core.py:79-107,
+docs/guides/tiling_system.ipynb). ~65k rows for T6+T3+T1 globally:
+small enough to broadcast to every executor and to drive broadcast
+joins on the Spark side.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from equi7grid_spark.constants import TILING_ID_TO_SIZE
+
+DATA_DIR = Path(__file__).parent / "data"
+
+
+@lru_cache(maxsize=1)
+def load_catalog_table():
+    """The full catalog as a pyarrow table."""
+    return pq.read_table(DATA_DIR / "tile_catalog.parquet")
+
+
+@lru_cache(maxsize=32)
+def catalog_cells(subgrid: str, tiling_id: str) -> dict[tuple[int, int], tuple[str, bool]]:
+    """(cell_ix, cell_iy) -> (tilename, covers_land) for one zone+level."""
+    t = load_catalog_table()
+    import pyarrow.compute as pc
+
+    mask = pc.and_(
+        pc.equal(t["subgrid"], subgrid), pc.equal(t["tiling_id"], tiling_id)
+    )
+    sub = t.filter(mask)
+    ts = TILING_ID_TO_SIZE[tiling_id]
+    ll_x = np.asarray(sub["ll_x"], dtype=np.float64)
+    ll_y = np.asarray(sub["ll_y"], dtype=np.float64)
+    names = sub["tilename"].to_pylist()
+    land = sub["covers_land"].to_pylist()
+    ix = np.round(ll_x / ts).astype(np.int64)
+    iy = np.round(ll_y / ts).astype(np.int64)
+    return {
+        (int(a), int(b)): (n, bool(c))
+        for a, b, n, c in zip(ix, iy, names, land)
+    }
+
+
+@lru_cache(maxsize=32)
+def catalog_name_set(subgrid: str, tiling_id: str) -> frozenset[str]:
+    return frozenset(n for n, _ in catalog_cells(subgrid, tiling_id).values())
