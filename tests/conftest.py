@@ -1,0 +1,10 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from equi7grid_spark.session import get_spark
+
+    s = get_spark(app_name="equi7grid_spark_tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
