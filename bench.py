@@ -1,0 +1,184 @@
+"""Benchmark harness: headline queries + N→4N scaling efficiency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "images_per_sec_local8": ...,
+   "images_per_sec_local32": ..., "scaling_efficiency_8_to_32": ...}
+
+Scaling protocol (sandbox proxy for the north rule's N→4N executor
+gate, see BASELINE.md and BENCH/BASELINE.md): the SAME flagship job —
+read images parquet → zone PIP → AEQD forward → T6 tile keys →
+broadcast catalog join → per-tile counts — runs in subprocesses pinned
+with `taskset` to N and then 4N cores, on the SAME input. Pinning is
+essential for honesty in local mode: python UDF workers are separate
+processes, so an unpinned local[N] silently uses ~2N cores and
+understates scaling. Efficiency = throughput(4N) / (4 × throughput(N)).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_SCALE_N (default 4 → pair 4 vs 16),
+     BENCH_IMAGES_N (default 48_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Scaling pair: N and 4N cores (driver instruction allows any N).
+# 4 vs 16 keeps the 4N side under the host's sustained-load CPU-steal
+# threshold (10-25% steal observed at 32 busy cores on this VM) and
+# 48M rows amortize the ~1.2s fixed job cost to <3% of the short run.
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+IMAGES_N = int(os.environ.get("BENCH_IMAGES_N", "48000000"))
+IMAGES_PATH = f"/tmp/equi7_bench_images_{IMAGES_N}.parquet"
+
+HEADLINE = [
+    "tile_assign_t6_counts",   # geodesic flagship on sf tables
+    "tile_counts_t6",          # arithmetic tiling + agg
+    "tilename_format",
+    "bbox_range_join",
+    "knn_tiles",
+    "dedup_exact",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "events_windowed",
+    "roi_search_global_t6",
+]
+
+
+def _session(n_threads: int, app: str):
+    from equi7grid_spark.session import get_spark
+
+    return get_spark(
+        app_name=app,
+        master=f"local[{n_threads}]",
+        shuffle_partitions=2 * n_threads,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
+
+
+def ensure_images() -> None:
+    if Path(IMAGES_PATH).exists():
+        return
+    spark = _session(CPUS, "equi7_bench_datagen")
+    from equi7grid_spark.images import synthetic_images
+
+    t0 = time.time()
+    df = synthetic_images(spark, IMAGES_N, with_bytes=False, partitions=4 * CPUS)
+    df.write.mode("overwrite").parquet(IMAGES_PATH)
+    print(f"# generated {IMAGES_N} images in {time.time()-t0:.1f}s", file=sys.stderr)
+    spark.stop()
+
+
+def flagship_run(n_threads: int) -> None:
+    """Subprocess entry: warmup + best-of-2 flagship, one JSON line."""
+    spark = _session(n_threads, f"equi7_flagship_{n_threads}")
+    from pyspark.sql import functions as F
+
+    from equi7grid_spark.jobs.assign_and_join import run
+    from equi7grid_spark.operators.assign import assign_tiles
+
+    df = spark.read.parquet(IMAGES_PATH)
+    warm = assign_tiles(df.limit(100_000).repartition(2 * n_threads))
+    warm.agg(F.count(F.lit(1))).collect()
+
+    # min-of-3: intermittent scheduler stalls from prior-session teardown
+    # inflate single trials; the min is the reproducible, interference-free
+    # figure for both cluster sizes alike.
+    best = None
+    for _ in range(3):
+        stats = run(spark, IMAGES_PATH, "T6", None)
+        if best is None or stats["seconds"] < best["seconds"]:
+            best = stats
+    print(json.dumps(best))
+    spark.stop()
+
+
+def measure_scaling() -> dict:
+    ensure_images()
+    res: dict = {}
+    for n in (SCALE_N, 4 * SCALE_N):
+        time.sleep(10)  # let the previous session's teardown settle
+        cmd = [sys.executable, __file__, "--flagship-threads", str(n)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{n-1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        stats = json.loads(line)
+        rps = stats["images"] / stats["seconds"]
+        res[f"local{n}"] = {
+            "seconds": stats["seconds"],
+            "rows": stats["images"],
+            "rows_per_sec": round(rps, 1),
+        }
+        print(
+            f"# local[{n}] pinned: {stats['images']} imgs in {stats['seconds']}s "
+            f"= {rps:,.0f} img/s",
+            file=sys.stderr,
+        )
+    t_n = res[f"local{SCALE_N}"]["rows_per_sec"]
+    t_4n = res[f"local{4*SCALE_N}"]["rows_per_sec"]
+    res["scaling_efficiency"] = round(t_4n / (4.0 * t_n), 3)
+    return res
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # warm python workers once so the first query isn't charged for startup
+    qs["tile_counts_t6"](spark, SF_DIR).count()
+    times = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        best, n = None, 0
+        for _ in range(2):  # min-of-2 absorbs host CPU-steal spikes
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+    return times
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--flagship-threads":
+        flagship_run(int(sys.argv[2]))
+        return
+
+    scaling = measure_scaling()
+
+    time.sleep(15)  # settle after the pinned scaling runs
+    spark = _session(CPUS, "equi7_bench_headline")
+    qtimes = run_headline(spark)
+    spark.stop()
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_total_seconds (equi7 tile-assignment engine)",
+        "value": round(sum(qtimes.values()), 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "images_n": IMAGES_N,
+        f"images_per_sec_local{SCALE_N}": scaling[f"local{SCALE_N}"]["rows_per_sec"],
+        f"images_per_sec_local{4*SCALE_N}": scaling[f"local{4*SCALE_N}"]["rows_per_sec"],
+        "scaling_pair": [SCALE_N, 4 * SCALE_N],
+        "scaling_efficiency_n_to_4n": scaling["scaling_efficiency"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,637 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle.
+
+Each entry exercises one operator family from SURVEY.md §2 on the
+driver's parquet tables (sf_dir). SQL-expressible operators carry an
+ANSI-SQL oracle with *identical arithmetic* so DuckDB reproduces the
+exact values (integer/modular derivations; float outputs rounded to a
+fixed number of decimals on both sides to absorb libm-vs-JVM ulp
+differences). Geodesic operators (Vincenty is iterative) have no SQL
+equivalent → no oracle entry → driver records a rows-only check.
+
+Pseudo-coordinate derivations (deterministic, same in both engines):
+
+  key = l_orderkey * 8 + l_linenumber
+  x   = (key*1664525 + 1013904223) % 8400000            -- proj meters
+  y   = ((key*22695477 + 12345) % 10200000) - 1800000
+  cc  = system_order[key % 7]
+
+  lon = ((c_custkey*9973) % 36000)/100.0 - 180.0        -- geodesy inputs
+  lat = ((c_custkey*7919) % 17800)/100.0 - 89.0
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from equi7grid_spark.constants import DEFAULT_SYSTEM_ORDER, SYSTEMS, WGS84_A
+from equi7grid_spark.functions import tiling as TL
+from equi7grid_spark.operators.assign import assign_tiles
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+def _derived_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    x = ((key * 1664525 + 1013904223) % 8400000).cast("double")
+    y = (((key * 22695477 + 12345) % 10200000) - 1800000).cast("double")
+    order = list(DEFAULT_SYSTEM_ORDER)
+    cc = F.element_at(F.array(*[F.lit(c) for c in order]), (key % 7 + 1).cast("int"))
+    return li.select(
+        key.alias("key"), x.alias("x"), y.alias("y"), cc.alias("subgrid")
+    )
+
+_SQL_DERIVED_XY = """
+  SELECT (l_orderkey*8 + l_linenumber)::BIGINT AS key,
+         (((l_orderkey*8 + l_linenumber)*1664525 + 1013904223) % 8400000)::DOUBLE AS x,
+         ((((l_orderkey*8 + l_linenumber)*22695477 + 12345) % 10200000) - 1800000)::DOUBLE AS y,
+         (['AF','AN','AS','EU','OC','NA','SA'])[((l_orderkey*8 + l_linenumber) % 7 + 1)::INT] AS subgrid
+  FROM lineitem
+"""
+
+
+def _derived_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    lon = ((F.col("c_custkey") * 9973) % 36000) / 100.0 - 180.0
+    lat = ((F.col("c_custkey") * 7919) % 17800) / 100.0 - 89.0
+    return c.select(
+        F.col("c_custkey").alias("pt_id"),
+        lon.cast("double").alias("lon"),
+        lat.cast("double").alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tile algebra (SQL-oracled, exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tilename_format",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY})
+    SELECT key,
+           subgrid || '_E' ||
+           lpad(((floor(x/600000)*600000)/100000)::INT::VARCHAR, 3, '0') ||
+           (CASE WHEN floor(y/600000)*600000 < 0 THEN 'S' ELSE 'N' END) ||
+           lpad(abs((floor(y/600000)*600000)/100000)::INT::VARCHAR, 3, '0') ||
+           'T6' AS tilename_t6
+    FROM d
+    """,
+)
+def q_tilename_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _derived_xy(spark, sf_dir)
+    return d.select(
+        "key",
+        TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T6").alias("tilename_t6"),
+    )
+
+
+@register(
+    "tilename_parse",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY}),
+    named AS (
+      SELECT key,
+             subgrid || '_E' ||
+             lpad(((floor(x/600000)*600000)/100000)::INT::VARCHAR, 3, '0') ||
+             (CASE WHEN floor(y/600000)*600000 < 0 THEN 'S' ELSE 'N' END) ||
+             lpad(abs((floor(y/600000)*600000)/100000)::INT::VARCHAR, 3, '0') ||
+             'T6' AS name
+      FROM d
+    )
+    SELECT key,
+           substr(name, 1, 2) AS subgrid,
+           (substr(name, 5, 3)::DOUBLE) * 100000 AS ll_x,
+           (CASE WHEN substr(name, 8, 1) = 'S' THEN -1 ELSE 1 END)
+             * (substr(name, 9, 3)::DOUBLE) * 100000 AS ll_y,
+           TRUE AS valid
+    FROM named
+    """,
+)
+def q_tilename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _derived_xy(spark, sf_dir)
+    named = d.select(
+        "key",
+        TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T6").alias("name"),
+    )
+    p = TL.parse_tilename(F.col("name"))
+    return named.select(
+        "key",
+        p.subgrid.alias("subgrid"),
+        p.ll_x.alias("ll_x"),
+        p.ll_y.alias("ll_y"),
+        p.valid.alias("valid"),
+    )
+
+
+@register(
+    "tile_children",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY}),
+    parents AS (
+      SELECT DISTINCT subgrid,
+             floor(x/600000)*600000 AS ll_x,
+             floor(y/600000)*600000 AS ll_y
+      FROM d
+    )
+    SELECT subgrid || '_E' ||
+           lpad(((ll_x + dx)/100000)::INT::VARCHAR, 3, '0') ||
+           (CASE WHEN (ll_y + dy) < 0 THEN 'S' ELSE 'N' END) ||
+           lpad(abs((ll_y + dy)/100000)::INT::VARCHAR, 3, '0') ||
+           'T3' AS child
+    FROM parents
+    CROSS JOIN (VALUES (0,0),(0,300000),(300000,0),(300000,300000)) AS o(dx, dy)
+    """,
+)
+def q_tile_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _derived_xy(spark, sf_dir)
+    parents = d.select(
+        "subgrid",
+        TL.tile_ll(F.col("x"), 600000).alias("ll_x"),
+        TL.tile_ll(F.col("y"), 600000).alias("ll_y"),
+    ).distinct()
+    ch = TL.children(F.col("ll_x"), F.col("ll_y"), "T6", "T3")
+    return parents.select("subgrid", F.explode(ch).alias("c")).select(
+        TL.tilename(F.col("subgrid"), F.col("c.ll_x"), F.col("c.ll_y"), "T3").alias("child")
+    )
+
+
+@register(
+    "tile_parent",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY})
+    SELECT key,
+           subgrid || '_E' ||
+           lpad(((floor(floor(x/100000)*100000/300000)*300000)/100000)::INT::VARCHAR, 3, '0') ||
+           (CASE WHEN floor(floor(y/100000)*100000/300000)*300000 < 0 THEN 'S' ELSE 'N' END) ||
+           lpad(abs((floor(floor(y/100000)*100000/300000)*300000)/100000)::INT::VARCHAR, 3, '0') ||
+           'T3' AS parent_t3
+    FROM d
+    """,
+)
+def q_tile_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _derived_xy(spark, sf_dir)
+    # T1 tile of the point, then its T3 parent (reference core.py:342-356)
+    t1x = TL.tile_ll(F.col("x"), 100000)
+    t1y = TL.tile_ll(F.col("y"), 100000)
+    return d.select(
+        "key",
+        TL.tilename(
+            F.col("subgrid"), TL.parent_ll(t1x, "T3"), TL.parent_ll(t1y, "T3"), "T3"
+        ).alias("parent_t3"),
+    )
+
+
+@register(
+    "rc2xy",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY})
+    SELECT key,
+           floor(x/600000)*600000 + (key*7 % 1200)*500.0 AS x_ll,
+           (floor(y/600000)*600000 + 600000) - ((key % 1200) + 1)*500.0 AS y_ll,
+           floor(x/600000)*600000 + (key*7 % 1200)*500.0 + 250.0 AS x_c,
+           (floor(y/600000)*600000 + 600000) - (key % 1200)*500.0 - 250.0 AS y_c
+    FROM d
+    """,
+)
+def q_rc2xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _derived_xy(spark, sf_dir)
+    llx = TL.tile_ll(F.col("x"), 600000)
+    lly = TL.tile_ll(F.col("y"), 600000)
+    r = (F.col("key") % 1200).cast("int")
+    c = (F.col("key") * 7 % 1200).cast("int")
+    x_ll, y_ll = TL.rc2xy(r, c, llx, lly, 600000, 500, "ll")
+    x_c, y_c = TL.rc2xy(r, c, llx, lly, 600000, 500, "c")
+    return d.select(
+        "key",
+        x_ll.alias("x_ll"),
+        y_ll.alias("y_ll"),
+        x_c.alias("x_c"),
+        y_c.alias("y_c"),
+    )
+
+
+@register(
+    "xy2rc",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY})
+    SELECT key,
+           floor(((floor(y/600000)*600000 + 600000) - y)/500.0)::INT AS row,
+           floor((x - floor(x/600000)*600000)/500.0)::INT AS col
+    FROM d
+    """,
+)
+def q_xy2rc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _derived_xy(spark, sf_dir)
+    llx = TL.tile_ll(F.col("x"), 600000)
+    lly = TL.tile_ll(F.col("y"), 600000)
+    r, c = TL.xy2rc(F.col("x"), F.col("y"), llx, lly, 600000, 500)
+    return d.select("key", r.alias("row"), c.alias("col"))
+
+
+def _sql_distortion_case() -> str:
+    x0 = " ".join(
+        f"WHEN subgrid = '{cc}' THEN {SYSTEMS[cc].x_0!r}" for cc in DEFAULT_SYSTEM_ORDER
+    )
+    y0 = " ".join(
+        f"WHEN subgrid = '{cc}' THEN {SYSTEMS[cc].y_0!r}" for cc in DEFAULT_SYSTEM_ORDER
+    )
+    return (
+        f"sqrt((x - CASE {x0} END)*(x - CASE {x0} END) + "
+        f"(y - CASE {y0} END)*(y - CASE {y0} END))"
+    )
+
+
+@register(
+    "distortion_planar",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY}),
+    k AS (
+      SELECT key, {_sql_distortion_case()} AS dist FROM d
+    )
+    SELECT key,
+           round(CASE WHEN dist = 0 THEN 1.0
+                      ELSE dist/{WGS84_A!r}/sin(dist/{WGS84_A!r}) END, 9) AS k
+    FROM k
+    """,
+)
+def q_distortion_planar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _derived_xy(spark, sf_dir)
+    k = TL.length_distortion_planar(F.col("subgrid"), F.col("x"), F.col("y"))
+    return d.select("key", F.round(k, 9).alias("k"))
+
+
+_BBOXES_SQL = """
+  (VALUES (1, 5138743.0, 1111111.0, 6200015.0, 1534657.0),
+          (2,  100000.0,  100000.0,  700001.0,  700001.0),
+          (3, 4200000.0, -600000.0, 4800000.0,       0.0))
+  AS b(bbox_id, x_min, y_min, x_max, y_max)
+"""
+
+_BBOXES = [
+    (1, 5138743.0, 1111111.0, 6200015.0, 1534657.0),
+    (2, 100000.0, 100000.0, 700001.0, 700001.0),
+    (3, 4200000.0, -600000.0, 4800000.0, 0.0),
+]
+
+
+@register(
+    "bbox_range_join",
+    f"""
+    SELECT bbox_id,
+           'E' || lpad((gx*6)::INT::VARCHAR, 3, '0') ||
+           (CASE WHEN gy < 0 THEN 'S' ELSE 'N' END) ||
+           lpad(abs(gy*6)::INT::VARCHAR, 3, '0') || 'T6' AS tile
+    FROM {_BBOXES_SQL},
+         LATERAL (SELECT unnest(generate_series(floor(x_min/600000)::BIGINT,
+                                                floor(x_max/600000)::BIGINT)) AS gx),
+         LATERAL (SELECT unnest(generate_series(floor(y_min/600000)::BIGINT,
+                                                floor(y_max/600000)::BIGINT)) AS gy)
+    """,
+)
+def q_bbox_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = spark.createDataFrame(_BBOXES, "bbox_id int, x_min double, y_min double, x_max double, y_max double")
+    gx = F.explode(
+        F.sequence(F.floor(F.col("x_min") / 600000), F.floor(F.col("x_max") / 600000))
+    ).alias("gx")
+    d = b.select("bbox_id", "y_min", "y_max", gx)
+    gy = F.explode(
+        F.sequence(F.floor(F.col("y_min") / 600000), F.floor(F.col("y_max") / 600000))
+    ).alias("gy")
+    d = d.select("bbox_id", "gx", gy)
+    name = F.concat(
+        F.lit("E"),
+        F.lpad((F.col("gx") * 6).cast("int").cast("string"), 3, "0"),
+        F.when(F.col("gy") < 0, F.lit("S")).otherwise(F.lit("N")),
+        F.lpad(F.abs(F.col("gy") * 6).cast("int").cast("string"), 3, "0"),
+        F.lit("T6"),
+    )
+    return d.select("bbox_id", name.alias("tile"))
+
+
+@register(
+    "tile_counts_t6",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY}),
+    named AS (
+      SELECT subgrid || '_E' ||
+             lpad(((floor(x/600000)*600000)/100000)::INT::VARCHAR, 3, '0') ||
+             (CASE WHEN floor(y/600000)*600000 < 0 THEN 'S' ELSE 'N' END) ||
+             lpad(abs((floor(y/600000)*600000)/100000)::INT::VARCHAR, 3, '0') ||
+             'T6' AS tilename
+      FROM d
+    )
+    SELECT tilename, count(*)::BIGINT AS n
+    FROM named GROUP BY tilename
+    """,
+)
+def q_tile_counts_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _derived_xy(spark, sf_dir)
+    return (
+        d.select(TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T6").alias("tilename"))
+        .groupBy("tilename")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_KNN_TILES = [
+    ("EU_E048N012T6", 5100000.0, 1500000.0),
+    ("EU_E048N018T6", 5100000.0, 2100000.0),
+    ("EU_E054N012T6", 5700000.0, 1500000.0),
+    ("EU_E054N018T6", 5700000.0, 2100000.0),
+    ("AF_E030N084T6", 3300000.0, 8700000.0),
+    ("AF_E036N084T6", 3900000.0, 8700000.0),
+    ("AS_E066N090T6", 6900000.0, 9300000.0),
+    ("AS_E072N090T6", 7500000.0, 9300000.0),
+    ("NA_E054N072T6", 5700000.0, 7500000.0),
+    ("NA_E060N072T6", 6300000.0, 7500000.0),
+    ("OC_E084N066T6", 8700000.0, 6900000.0),
+    ("SA_E066N054T6", 6900000.0, 5700000.0),
+]
+
+_KNN_TILES_SQL = ", ".join(f"('{n}', {x!r}, {y!r})" for n, x, y in _KNN_TILES)
+
+
+@register(
+    "knn_tiles",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY}),
+    pts AS (SELECT key, x, y FROM d WHERE key % 97 = 0),
+    tiles(tname, cx, cy) AS (VALUES {_KNN_TILES_SQL}),
+    scored AS (
+      SELECT key, tname,
+             (x - cx)*(x - cx) + (y - cy)*(y - cy) AS d2,
+             row_number() OVER (
+               PARTITION BY key
+               ORDER BY (x - cx)*(x - cx) + (y - cy)*(y - cy), tname
+             ) AS rank
+      FROM pts CROSS JOIN tiles
+    )
+    SELECT key, rank::INT AS rank, tname FROM scored WHERE rank <= 3
+    """,
+)
+def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _derived_xy(spark, sf_dir).filter(F.col("key") % 97 == 0)
+    tiles = spark.createDataFrame(_KNN_TILES, "tname string, cx double, cy double")
+    j = d.crossJoin(F.broadcast(tiles))
+    d2 = (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")) + (
+        F.col("y") - F.col("cy")
+    ) * (F.col("y") - F.col("cy"))
+    w = Window.partitionBy("key").orderBy(d2.asc(), F.col("tname").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("key", F.col("rank").cast("int").alias("rank"), "tname")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity (training-pipeline ops; SQL-oracled)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           min(doc_id)::BIGINT AS rep_id,
+           count(*)::BIGINT AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@register(
+    "token_count",
+    """
+    SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens,
+           length(text)::INT AS n_chars_actual
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "quality_score",
+    """
+    SELECT doc_id,
+           round(length(regexp_replace(text, '[aeiou]', '', 'g'))::DOUBLE
+                 / length(text), 9) AS consonant_ratio,
+           round(len(string_split(text, ' '))::DOUBLE / length(text), 9)
+             AS token_density
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    cons = F.length(F.regexp_replace(F.col("text"), "[aeiou]", "")).cast("double")
+    toks = F.size(F.split(F.col("text"), " ")).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(cons / F.length("text"), 9).alias("consonant_ratio"),
+        F.round(toks / F.length("text"), 9).alias("token_density"),
+    )
+
+
+@register(
+    "lang_id",
+    """
+    SELECT doc_id,
+           CASE WHEN length(regexp_replace(text, '[^aeiou]', '', 'g'))::DOUBLE
+                     / length(regexp_replace(text, '[^a-z]', '', 'g')) BETWEEN 0.25 AND 0.55
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    vowels = F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")).cast("double")
+    letters = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    ratio = vowels / letters
+    return d.select(
+        "doc_id",
+        F.when((ratio >= 0.25) & (ratio <= 0.55), F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+    return d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, cid,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+               cid
+             ) AS rank
+      FROM q CROSS JOIN c
+      WHERE qid <> cid
+    )
+    SELECT qid, rank::INT AS rank, cid FROM scored WHERE rank <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = lambda col: F.transform(F.col(col), lambda v: v.cast("double"))  # noqa: E731
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), dbl("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), dbl("embedding").alias("cv"))
+    j = q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cosine = dot("qv", "cv") / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("cv", "cv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        j.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", F.col("rank").cast("int").alias("rank"), "cid")
+    )
+
+
+@register(
+    "events_windowed",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 3) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts is TIMESTAMP_NTZ: truncate + format as a tz-free string so the
+    # comparison is independent of either engine's session timezone.
+    e = _t(spark, sf_dir, "events")
+    win = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        e.groupBy(win.alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# geodesic pipeline (no SQL equivalent → rows-only oracle)
+# ---------------------------------------------------------------------------
+
+@register("zone_assign_counts", None)
+def q_zone_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _derived_lonlat(spark, sf_dir)
+    out = assign_tiles(pts, tiling_id="T6")
+    return out.groupBy("subgrid").agg(F.count(F.lit(1)).alias("n")).orderBy("subgrid")
+
+
+@register("tile_assign_t6_counts", None)
+def q_tile_assign_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _derived_lonlat(spark, sf_dir)
+    out = assign_tiles(pts, tiling_id="T6")
+    return out.groupBy("subgrid", "tilename").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("lonlat_roundtrip_maxerr", None)
+def q_lonlat_roundtrip_maxerr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equi7grid_spark.operators.assign import inverse_lonlat_udf
+
+    pts = _derived_lonlat(spark, sf_dir)
+    df = assign_tiles(pts, tiling_id="T6")
+    inv = df.withColumn("ll", inverse_lonlat_udf(F.col("subgrid"), F.col("x"), F.col("y")))
+    err = F.greatest(
+        F.abs(F.col("ll.lat") - F.col("lat")),
+        F.abs(
+            (F.col("ll.lon") - F.col("lon") + 540.0) % 360.0 - 180.0
+        ) * F.cos(F.radians(F.col("lat"))),
+    )
+    return inv.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max(err) < 1e-6).alias("roundtrip_under_1e6_deg"),
+    )
+
+
+@register("roi_search_global_t6", None)
+def q_roi_search_global_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equi7grid_spark.roi import get_tiles_in_geog_bbox
+
+    tiles = get_tiles_in_geog_bbox((-179.9, -89.9, 179.9, 89.9), "T6")
+    rows = [(t.subgrid, t.tilename, t.ll_x, t.ll_y, t.covers_land) for t in tiles]
+    return spark.createDataFrame(
+        rows, "subgrid string, tilename string, ll_x double, ll_y double, covers_land boolean"
+    )
+
+
+@register("images_tile_assign", None)
+def q_images_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equi7grid_spark.images import synthetic_images
+
+    imgs = synthetic_images(spark, 20000, with_bytes=False)
+    out = assign_tiles(imgs, tiling_id="T6")
+    return out.groupBy("subgrid").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.approx_count_distinct("tilename").alias("approx_tiles"),
+    ).orderBy("subgrid")

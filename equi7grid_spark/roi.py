@@ -94,6 +94,9 @@ def _roi_rings_from_lonlat_polygon(points: np.ndarray) -> list[np.ndarray]:
     return out
 
 
+_ZONE_CELLS_CACHE: dict[tuple, set[tuple[int, int]]] = {}
+
+
 def _tiles_for_zone(
     cc: str,
     roi_rings: list[np.ndarray],
@@ -101,7 +104,32 @@ def _tiles_for_zone(
     *,
     variant: str = "std",
 ) -> set[tuple[int, int]]:
-    """Cells of `tiling_id` intersecting proj(ROI ∩ zone) for one zone."""
+    """Cells of `tiling_id` intersecting proj(ROI ∩ zone) for one zone.
+
+    Memoized per (zone, level, ROI) — repeated searches (e.g. the global
+    catalog query) are driver-side hot spots otherwise.
+    """
+    import hashlib
+
+    roi_key = hashlib.sha1(b"".join(np.ascontiguousarray(r).tobytes() for r in roi_rings)).hexdigest()
+    cache_key = (cc, tiling_id, variant, roi_key)
+    hit = _ZONE_CELLS_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    cells = _tiles_for_zone_uncached(cc, roi_rings, tiling_id, variant=variant)
+    if len(_ZONE_CELLS_CACHE) > 256:
+        _ZONE_CELLS_CACHE.clear()
+    _ZONE_CELLS_CACHE[cache_key] = cells
+    return cells
+
+
+def _tiles_for_zone_uncached(
+    cc: str,
+    roi_rings: list[np.ndarray],
+    tiling_id: str,
+    *,
+    variant: str = "std",
+) -> set[tuple[int, int]]:
     ts = float(TILING_ID_TO_SIZE[tiling_id])
     polys = load_zone_polys(variant)[cc]
     cells: set[tuple[int, int]] = set()

@@ -134,6 +134,23 @@ def zone_membership(
     return member
 
 
+def assign_primary_zone_code(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    *,
+    buffered: bool = False,
+    system_order: tuple[str, ...] = DEFAULT_SYSTEM_ORDER,
+) -> np.ndarray:
+    """Index into system_order of the first matching zone (-1 if none).
+
+    Integer codes keep the Arrow boundary and the per-batch grouping
+    cheap; strings materialize JVM-side (see operators/assign.py).
+    """
+    member = zone_membership(lon, lat, buffered=buffered, system_order=system_order)
+    first = np.argmax(member, axis=1).astype(np.int8)
+    return np.where(member.any(axis=1), first, np.int8(-1))
+
+
 def assign_primary_zone(
     lon: np.ndarray,
     lat: np.ndarray,
@@ -147,9 +164,8 @@ def assign_primary_zone(
     semantics (tests/test_equi7grid.py:405-439): caller decides how to
     treat '' (error or filter).
     """
-    member = zone_membership(lon, lat, buffered=buffered, system_order=system_order)
-    first = np.argmax(member, axis=1)
-    any_hit = member.any(axis=1)
-    codes = np.array(system_order, dtype=object)
-    out = np.where(any_hit, codes[first], "")
-    return out.astype(object)
+    code = assign_primary_zone_code(
+        lon, lat, buffered=buffered, system_order=system_order
+    )
+    codes = np.array(list(system_order) + [""], dtype=object)
+    return codes[code]
