@@ -625,6 +625,34 @@ def q_roi_search_global_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("warp_raster_to_tiles", None)
+def q_warp_raster_to_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→tile resample on the reference's synthetic lonlat fixture
+    (reference tests/test_warp.py:43-80,129-174): 4 deterministic output
+    tiles; rows-only oracle (geodesic warp not SQL-expressible)."""
+    import numpy as np
+    import pandas as pd
+
+    from equi7grid_spark.warp.resample import resample_to_equi7_tiles
+
+    extent = (50.0, 60.7, 51.2, 63.2)
+    nodata = -9999
+    w, h = 12, 25
+    w_ar, h_ar = np.meshgrid(np.arange(w), np.arange(h))
+    arr = (w_ar**2 + h_ar**2).astype(np.int16)
+    arr[h // 2, w // 2] = nodata
+    pdf = pd.DataFrame([{
+        "image_id": "lonlat_img_continuous", "bytes": arr.tobytes(),
+        "fmt": "raw", "dtype": "int16", "w": w, "h": h, "crs": "EPSG:4326",
+        "x_min": extent[0], "y_min": extent[1],
+        "x_max": extent[2], "y_max": extent[3], "nodata": float(nodata),
+    }])
+    out = resample_to_equi7_tiles(
+        spark.createDataFrame(pdf), "T6", 1000.0, resampling="bilinear"
+    )
+    return out.select("image_id", "subgrid", "tilename", "n_valid").orderBy("tilename")
+
+
 @register("images_tile_assign", None)
 def q_images_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.images import synthetic_images
