@@ -1,0 +1,181 @@
+"""Deduplication & similarity operators for the documents/embeddings
+tables (training-data-pipeline ops; SURVEY.md graft additions).
+
+Every operator here is expressed with built-in Spark SQL functions
+(shingling via array lambdas, MinHash via md5-keyed minima, SimHash via
+hex-digit parities, LSH bands via ordered aggregation) so that DuckDB
+can reproduce values exactly — these all carry full value oracles in
+queries.py. The md5-as-uniform-hash trick keeps the hash function
+engine-independent (both engines implement RFC 1321), unlike
+Spark's murmur `hash()` vs DuckDB's internal `hash()`.
+
+Scale notes (10^12 rows): shingle explosion is the dominant cost —
+the LSH design only shuffles (band_sig → doc) pairs, never documents;
+candidate verification joins are restricted to same-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PERMS = 8
+BAND_SIZE = 4  # → 2 bands
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Token n-gram shingles as an array<string> Column.
+
+    Guarded: Spark's sequence(1, 0) would generate a *descending* [1,0]
+    array, so short texts explicitly yield an empty array (matching
+    DuckDB generate_series(1, 0) = [])."""
+    toks = tokens(text)
+    n_sh = F.size(toks) - (n - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded, distinct per doc."""
+    return (
+        docs.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, perm, minhash): MinHash via the md5-keyed minimum —
+    h_p(doc) = min over shingles of md5(p || '|' || shingle). The
+    lexicographic minimum of a uniform hex hash is a valid MinHash
+    permutation; md5 keys make it engine-independent."""
+    sh = doc_shingles(docs)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm")
+    exploded = sh.select("doc_id", "shingle", perms)
+    h = F.md5(
+        F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")).cast("binary")
+    )
+    return (
+        exploded.select("doc_id", "perm", h.alias("h"))
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_buckets(docs: DataFrame, n_perms: int = N_PERMS, band_size: int = BAND_SIZE) -> DataFrame:
+    """(band, band_sig, doc_id): LSH banding of the MinHash signature —
+    docs sharing a (band, band_sig) bucket are near-duplicate candidates."""
+    sig = minhash_signatures(docs, n_perms)
+    band = (F.col("perm") / band_size).cast("int")
+    # order minhashes within a band by perm, concatenate, hash
+    per_band = (
+        sig.withColumn("band", band)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s.minhash,
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    return per_band.select(
+        "band", F.md5(F.col("band_key").cast("binary")).alias("band_sig"), "doc_id"
+    )
+
+
+def minhash_candidate_groups(docs: DataFrame) -> DataFrame:
+    """Buckets with >1 doc: (band, band_sig, n_docs, rep_id)."""
+    b = lsh_buckets(docs)
+    return (
+        b.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity for LSH candidate pairs only:
+    same-bucket pairs → shared-shingle counts → |A∩B|/|A∪B|.
+    The pair join is bucket-limited, never all-pairs."""
+    b = lsh_buckets(docs).select("band", "band_sig", "doc_id").distinct()
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), ["band", "band_sig"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = (
+        inter.join(sizes.alias("za"), F.col("a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("b") == F.col("zb.doc_id"))
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "a", "b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens: bit i = sign of the sum of
+    (±1) parities of hex digit i of md5(token). Engine-independent (md5
+    + strpos arithmetic only)."""
+    toks = tokens(text)
+
+    def _digit_fn(i: int):
+        # NB: must be a 1-arg lambda — a 2-arg lambda makes Spark's
+        # transform() pass the array index as the second argument.
+        def f(t: Column) -> Column:
+            pos = F.instr(F.lit(_HEX), F.substring(F.md5(t.cast("binary")), i + 1, 1))
+            return (pos % 2) * 2 - 1
+
+        return f
+
+    bits = []
+    for i in range(16):
+        digit = F.transform(toks, _digit_fn(i))
+        s = F.aggregate(digit, F.lit(0), lambda acc, v: acc + v)
+        bits.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def simhash_near_dups(docs: DataFrame) -> DataFrame:
+    """Docs sharing an identical 16-bit SimHash (hamming-0 buckets)."""
+    s = docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    return (
+        s.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,166 @@
+"""Multimodal column operators: decode / resize / feature-extract /
+frame-sample over opaque binary payload columns.
+
+Image ops are fully real (engine codecs, warp/codecs.py). Audio/video
+decode is STUBBED per SURVEY.md §7.4 — no audio/video libraries exist
+in this environment — but the Spark-side plumbing (schema, batching,
+UDF signatures) is real and tested: a deterministic fake decoder
+(`fake-pcm` / `fake-frames` formats, raw little-endian payloads)
+exercises the identical path; any real container format raises
+NotImplementedError.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from equi7grid_spark.warp.codecs import decode, encode
+
+IMAGE_STATS_SCHEMA = (
+    "image_id string, fmt string, w int, h int, "
+    "px_mean double, px_std double, px_min int, px_max int"
+)
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Decode every image and emit per-image pixel statistics."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "fmt": r["fmt"],
+                        "w": int(r["w"]),
+                        "h": int(r["h"]),
+                        "px_mean": float(arr.mean()),
+                        "px_std": float(arr.std()),
+                        "px_min": int(arr.min()),
+                        "px_max": int(arr.max()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "fmt", "w", "h", "px_mean", "px_std", "px_min", "px_max",
+            ])
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        go, schema=IMAGE_STATS_SCHEMA
+    )
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "raw") -> DataFrame:
+    """Nearest-neighbor resize of every image to (out_w, out_h)."""
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+                h, w = arr.shape
+                ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                ci = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                res = arr[ri[:, None], ci[None, :]]
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "bytes": encode(res, out_fmt),
+                        "w": out_w,
+                        "h": out_h,
+                        "fmt": out_fmt,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(go, schema=schema)
+
+
+def image_histogram_features(images: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Per-image normalized intensity histogram as array<double> — a
+    deterministic stand-in embedding for similarity search."""
+    schema = "image_id string, features array<double>"
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
+                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+                feats = (hist / max(1, arr.size)).astype(np.float64)
+                rows.append({"image_id": r["image_id"], "features": feats.tolist()})
+            yield pd.DataFrame(rows, columns=["image_id", "features"])
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(go, schema=schema)
+
+
+def decode_audio_pcm(data: bytes, fmt: str) -> np.ndarray:
+    """STUB: real audio containers unsupported offline; `fake-pcm` is
+    raw little-endian int16 mono exercising the same path."""
+    if fmt == "fake-pcm":
+        return np.frombuffer(data, dtype="<i2")
+    raise NotImplementedError(
+        f"audio format {fmt!r}: no audio codecs in this environment "
+        "(stubbed per SURVEY.md §7.4; use 'fake-pcm')"
+    )
+
+
+def audio_stats(audio: DataFrame) -> DataFrame:
+    """Per-clip RMS/peak over the (stub-)decoded waveform."""
+    schema = "clip_id string, n_samples long, rms double, peak int"
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                wav = decode_audio_pcm(r["bytes"], r["fmt"]).astype(np.float64)
+                rows.append(
+                    {
+                        "clip_id": r["clip_id"],
+                        "n_samples": int(wav.size),
+                        "rms": float(np.sqrt(np.mean(wav**2))) if wav.size else 0.0,
+                        "peak": int(np.abs(wav).max()) if wav.size else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "n_samples", "rms", "peak"])
+
+    return audio.select("clip_id", "bytes", "fmt").mapInPandas(go, schema=schema)
+
+
+def sample_video_frames(video: DataFrame, every_n: int = 2) -> DataFrame:
+    """STUB frame sampler: `fake-frames` payloads are concatenated raw
+    uint8 w*h frames; real containers raise NotImplementedError. Emits
+    one row per sampled frame (the UDTF-shaped explode)."""
+    schema = "video_id string, frame_idx int, bytes binary, w int, h int"
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["fmt"] != "fake-frames":
+                    raise NotImplementedError(
+                        f"video format {r['fmt']!r}: no video codecs in this "
+                        "environment (stubbed per SURVEY.md §7.4)"
+                    )
+                w, h = int(r["w"]), int(r["h"])
+                frame_sz = w * h
+                n_frames = len(r["bytes"]) // frame_sz
+                for k in range(0, n_frames, every_n):
+                    rows.append(
+                        {
+                            "video_id": r["video_id"],
+                            "frame_idx": k,
+                            "bytes": r["bytes"][k * frame_sz : (k + 1) * frame_sz],
+                            "w": w,
+                            "h": h,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "bytes", "w", "h"])
+
+    return video.select("video_id", "bytes", "fmt", "w", "h").mapInPandas(go, schema=schema)

@@ -577,6 +577,212 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id, sh AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+             i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+           )) AS sh
+    FROM documents)
+"""
+
+_SQL_LSH_BANDS = f"""
+  WITH sh AS ({_SQL_SHINGLES}),
+  sig AS (
+    SELECT doc_id, p.perm,
+           min(md5(p.perm::VARCHAR || '|' || shingle)) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS perm) p
+    GROUP BY doc_id, p.perm
+  ),
+  bands AS (
+    SELECT doc_id, (perm // 4)::INT AS band,
+           md5(string_agg(minhash, ',' ORDER BY perm)) AS band_sig
+    FROM sig GROUP BY doc_id, (perm // 4)::INT
+  )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    {_SQL_LSH_BANDS}
+    SELECT band, band_sig, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS rep_id
+    FROM bands GROUP BY band, band_sig HAVING count(*) > 1
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equi7grid_spark.dedup import minhash_candidate_groups
+
+    return minhash_candidate_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    {_SQL_LSH_BANDS},
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    ),
+    sh2 AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, count(*)::BIGINT AS n_inter
+      FROM pairs p
+      JOIN sh2 sa ON sa.doc_id = p.a
+      JOIN sh2 sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+      GROUP BY p.a, p.b
+    )
+    SELECT i.a, i.b,
+           round(n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter), 9) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equi7grid_spark.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    h AS (SELECT doc_id, md5(t) AS m FROM tok),
+    bits AS (
+      SELECT doc_id, i.i AS i,
+             sum((strpos('0123456789abcdef', substr(m, i.i + 1, 1)) % 2) * 2 - 1) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) i
+      GROUP BY doc_id, i.i
+    ),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1::BIGINT << i))::INT AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT simhash, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS rep_id
+    FROM sh GROUP BY simhash HAVING count(*) > 1
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equi7grid_spark.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 9) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.45
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = lambda col: F.transform(F.col(col), lambda v: v.cast("double"))  # noqa: E731
+    a = e.select(F.col("vec_id").alias("a"), dbl("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), dbl("embedding").alias("vb"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    j = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    cosine = dot("va", "vb") / (F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb")))
+    return (
+        j.withColumn("cos_raw", cosine)
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("a", "b", F.round("cos_raw", 9).alias("cosine"))
+    )
+
+
+# deterministic LSH hyperplanes for the bucketed-ANN scale path
+_N_PLANES = 3
+_EMB_DIM = 64
+
+
+def _lsh_plane(j: int) -> list[float]:
+    return [float(((j * 37 + d * 101) % 19) - 9) for d in range(_EMB_DIM)]
+
+
+def _sql_plane(j: int) -> str:
+    return "[" + ",".join(repr(v) for v in _lsh_plane(j)) + "]::DOUBLE[]"
+
+
+@register(
+    "ann_lsh_bucketed",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN list_dot_product(embedding::DOUBLE[], {_sql_plane(0)}) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN list_dot_product(embedding::DOUBLE[], {_sql_plane(1)}) > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN list_dot_product(embedding::DOUBLE[], {_sql_plane(2)}) > 0 THEN 4 ELSE 0 END)
+             AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, c.vec_id AS cid, q.bucket,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY list_dot_product(qv, c.v)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+               c.vec_id
+             ) AS rank
+      FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.qid
+    )
+    SELECT qid, bucket::INT AS bucket, rank::INT AS rank, cid
+    FROM scored WHERE rank <= 3
+    """,
+)
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: random-hyperplane LSH buckets shrink the
+    candidate set ~2^planes-fold before the exact cosine top-k; at
+    10^12 rows the bucket id becomes the shuffle/partition key."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    planes = [F.array(*[F.lit(v) for v in _lsh_plane(j)]) for j in range(_N_PLANES)]
+    dotp = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+    bucket = sum(
+        F.when(dotp(dbl, planes[j]) > 0, F.lit(2**j)).otherwise(F.lit(0))
+        for j in range(_N_PLANES)
+    )
+    ev = e.select("vec_id", dbl.alias("v"), bucket.alias("bucket"))
+    q = ev.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
+    )
+    c = ev.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+                  F.col("bucket").alias("cbucket"))
+    j = q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("qid") != F.col("cid")))
+    cos = dotp(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dotp(F.col("qv"), F.col("qv"))) * F.sqrt(dotp(F.col("cv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid").asc())
+    return (
+        j.withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", F.col("bucket").cast("int").alias("bucket"),
+                F.col("rank").cast("int").alias("rank"), "cid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # geodesic pipeline (no SQL equivalent → rows-only oracle)
 # ---------------------------------------------------------------------------
@@ -622,6 +828,27 @@ def q_roi_search_global_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(t.subgrid, t.tilename, t.ll_x, t.ll_y, t.covers_land) for t in tiles]
     return spark.createDataFrame(
         rows, "subgrid string, tilename string, ll_x double, ll_y double, covers_land boolean"
+    )
+
+
+@register("image_decode_stats", None)
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path: synthesize 3000 images (raw/png/q8),
+    decode each, aggregate per-format pixel stats. Deterministic;
+    rows-only oracle (binary codecs not SQL-expressible)."""
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.operators.multimodal import image_stats
+
+    imgs = synthetic_images(spark, 3000, with_bytes=True)
+    stats = image_stats(imgs)
+    return (
+        stats.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("px_mean"), 6).alias("avg_mean"),
+            F.max("px_max").alias("max_px"),
+        )
+        .orderBy("fmt")
     )
 
 
