@@ -1,0 +1,210 @@
+"""Grid-level Python API facade — the reference's `Equi7Grid` surface
+(reference core.py:359-648) re-expressed over the engine.
+
+A user of the reference can call the same operations here:
+``get_standard_equi7grid(500).EU.lonlat_to_xy(...)``-style access is
+provided as ``grid.lonlat_to_xy(...)`` / ``grid.system("EU")``; tile
+search, naming algebra and distortion match the reference goldens
+(tests/test_api.py ports the reference suite 1:1 at this level). The
+Spark operators (operators/, queries.py) are the distributed
+counterparts of every method here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from equi7grid_spark.constants import (
+    GridConfig,
+    SYSTEMS,
+    make_grid_config,
+)
+from equi7grid_spark.geodesy import (
+    aeqd_forward,
+    aeqd_inverse,
+    length_distortion_ellipsoid,
+    length_distortion_planar,
+)
+from equi7grid_spark.roi import (
+    TileRecord,
+    get_tiles_in_geog_bbox,
+    get_tiles_in_geom,
+    get_tiles_in_xy_bbox,
+)
+from equi7grid_spark.tile import GeomOutOfZoneError, Tile, TileOutOfZoneError
+from equi7grid_spark.zones import zone_membership
+
+__all__ = [
+    "Equi7Grid",
+    "Equi7TilingSystem",
+    "GeomOutOfZoneError",
+    "Tile",
+    "TileOutOfZoneError",
+    "get_standard_equi7grid",
+]
+
+
+@dataclass(frozen=True)
+class Equi7TilingSystem:
+    """One continental system (reference Equi7TilingSystem, core.py:55-356)."""
+
+    name: str
+    grid: "Equi7Grid"
+
+    @property
+    def epsg(self) -> int:
+        return SYSTEMS[self.name].epsg
+
+    def lonlat_to_xy(self, lon: float, lat: float) -> tuple[float, float]:
+        x, y = aeqd_forward(self.name, lon, lat)
+        return float(x), float(y)
+
+    def xy_to_lonlat(self, x: float, y: float) -> tuple[float, float]:
+        lon, lat = aeqd_inverse(self.name, x, y)
+        return float(lon), float(lat)
+
+    def calc_length_distortion(self, x, y):
+        return length_distortion_planar(self.name, x, y)
+
+    def contains_lonlat(self, lon: float, lat: float) -> bool:
+        m = zone_membership(
+            np.array([lon]), np.array([lat]),
+            buffered=self.grid.config.buffered, system_order=(self.name,),
+        )
+        return bool(m[0, 0])
+
+    def get_tile_from_xy(self, x: float, y: float, tiling_id: str = "T6") -> Tile:
+        return Tile.from_xy(self.name, x, y, tiling_id, self.grid.sampling_of(tiling_id))
+
+    def get_tile_from_lonlat(self, lon: float, lat: float, tiling_id: str = "T6") -> Tile:
+        x, y = self.lonlat_to_xy(lon, lat)
+        return self.get_tile_from_xy(x, y, tiling_id)
+
+    def get_tile_from_name(self, ftilename: str) -> Tile:
+        t = Tile.from_name(ftilename, self.grid.sampling_of("T" + ftilename[-1]))
+        if t.subgrid != self.name:
+            raise ValueError(f"{ftilename} is not a {self.name} tile")
+        return t
+
+    def get_tiles_in_bbox(self, bbox, tiling_id: str = "T6", *, cover_land: bool = False):
+        recs = get_tiles_in_xy_bbox(self.name, tuple(bbox), tiling_id, cover_land=cover_land)
+        return self.grid._to_tiles(recs, tiling_id)
+
+    def get_children_from_name(self, ftilename: str) -> list[Tile]:
+        return self.get_tile_from_name(ftilename).children()
+
+    def get_parent_from_name(self, ftilename: str) -> Tile:
+        return self.get_tile_from_name(ftilename).parent()
+
+
+class Equi7Grid:
+    """All seven systems (reference Equi7Grid, core.py:359-535)."""
+
+    def __init__(self, config: GridConfig):
+        self.config = config
+        for cc in config.system_order:
+            setattr(self, cc, Equi7TilingSystem(cc, self))
+
+    # -- access ---------------------------------------------------------
+    def system(self, cc: str) -> Equi7TilingSystem:
+        if cc not in self.config.system_order:
+            raise KeyError(cc)
+        return getattr(self, cc)
+
+    __getitem__ = system
+
+    @property
+    def system_order(self) -> tuple[str, ...]:
+        return self.config.system_order
+
+    def sampling_of(self, tiling_id: str) -> float:
+        s = self.config.sampling.get(tiling_id)
+        if s is None:
+            raise KeyError(f"no sampling configured for {tiling_id}")
+        return s
+
+    # -- point routing ----------------------------------------------------
+    def get_systems_from_lonlat(self, lon: float, lat: float) -> list[str]:
+        """reference core.py:436 — containing systems in system_order."""
+        m = zone_membership(
+            np.array([lon]), np.array([lat]),
+            buffered=self.config.buffered, system_order=self.config.system_order,
+        )[0]
+        return [cc for cc, hit in zip(self.config.system_order, m) if hit]
+
+    def lonlat_to_xy(self, lon: float, lat: float) -> dict[str, tuple[float, float]]:
+        """reference semantics (tests/test_equi7grid.py:405-439): dict in
+        system order; GeomOutOfZoneError if no zone contains the point."""
+        systems = self.get_systems_from_lonlat(lon, lat)
+        if not systems:
+            raise GeomOutOfZoneError(f"({lon}, {lat}) outside configured zones")
+        return {cc: self.system(cc).lonlat_to_xy(lon, lat) for cc in systems}
+
+    def calc_length_distortion_on_ellipsoid(self, lon: float, lat: float) -> float:
+        systems = self.get_systems_from_lonlat(lon, lat)
+        if not systems:
+            raise GeomOutOfZoneError(f"({lon}, {lat})")
+        return float(length_distortion_ellipsoid(systems[0], lon, lat))
+
+    # -- tiles --------------------------------------------------------------
+    def get_tile_from_name(self, ftilename: str) -> Tile:
+        return self.system(ftilename[:2]).get_tile_from_name(ftilename)
+
+    def _to_tiles(self, recs: list[TileRecord], tiling_id: str) -> list[Tile]:
+        s = self.sampling_of(tiling_id)
+        return [Tile(r.subgrid, tiling_id, r.ll_x, r.ll_y, s) for r in recs]
+
+    def get_tiles_in_geog_bbox(
+        self, bbox, tiling_id: str = "T6", *, cover_land: bool = False
+    ) -> list[Tile]:
+        recs = get_tiles_in_geog_bbox(
+            tuple(bbox), tiling_id, cover_land=cover_land, grid=self.config
+        )
+        return self._to_tiles(recs, tiling_id)
+
+    def get_tiles_in_geom(
+        self, points_lonlat, tiling_id: str = "T6", *, cover_land: bool = False
+    ) -> list[Tile]:
+        recs = get_tiles_in_geom(
+            np.asarray(points_lonlat, np.float64), tiling_id,
+            cover_land=cover_land, grid=self.config,
+        )
+        return self._to_tiles(recs, tiling_id)
+
+    def search_tiles(
+        self,
+        *,
+        geog_bbox=None,
+        roi_geom=None,
+        xy_bbox=None,
+        subgrid: str | None = None,
+        tiling_id: str = "T6",
+        cover_land: bool = False,
+    ) -> list[Tile]:
+        """ROI dispatcher (reference get_overlapping_tiles, warp.py:333-401):
+        exactly one of geog_bbox / roi_geom / (subgrid + xy_bbox)."""
+        given = [g is not None for g in (geog_bbox, roi_geom, xy_bbox)]
+        if sum(given) != 1:
+            raise ValueError("provide exactly one of geog_bbox, roi_geom, xy_bbox")
+        if geog_bbox is not None:
+            return self.get_tiles_in_geog_bbox(geog_bbox, tiling_id, cover_land=cover_land)
+        if roi_geom is not None:
+            return self.get_tiles_in_geom(roi_geom, tiling_id, cover_land=cover_land)
+        if subgrid is None:
+            raise ValueError("xy_bbox requires subgrid")
+        return self.system(subgrid).get_tiles_in_bbox(xy_bbox, tiling_id, cover_land=cover_land)
+
+    def ftilenames_to_tiles(self, names: list[str]) -> list[Tile]:
+        """reference warp.py:404-420 — names → validated tiles."""
+        return [self.get_tile_from_name(n) for n in names]
+
+
+def get_standard_equi7grid(
+    sampling, *, buffered: bool = False, continent_order: list[str] | None = None
+) -> Equi7Grid:
+    """reference core.py:572-602."""
+    return Equi7Grid(
+        make_grid_config(sampling, buffered=buffered, continent_order=continent_order)
+    )

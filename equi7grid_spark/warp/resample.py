@@ -33,10 +33,17 @@ from equi7grid_spark.warp.codecs import decode, encode
 from equi7grid_spark.warp.crs import crs_forward, crs_inverse
 
 OUTPUT_SCHEMA = (
-    "image_id string, subgrid string, tilename string, bytes binary, "
-    "w int, h int, fmt string, dtype string, nodata double, "
+    "image_id string, subgrid string, tilename string, out_name string, "
+    "bytes binary, w int, h int, fmt string, dtype string, nodata double, "
     "ll_x double, ll_y double, sampling double, n_valid long"
 )
+
+
+def default_naming(image_id: str, tilename: str) -> str:
+    """Output naming `{stem}_{ftilename}` (reference
+    get_default_e7_filename / naming_traffo hook, warp.py:185-201,
+    243-248); override via `naming_fn`."""
+    return f"{image_id}_{tilename}"
 
 
 def raster_geog_bbox(
@@ -199,6 +206,7 @@ def resample_to_equi7_tiles(
     out_fmt: str = "raw",
     accurate_boundary: bool = True,
     cover_land: bool = False,
+    naming_fn=None,
 ) -> DataFrame:
     """Distributed resample: every input raster row fans out to one
     output row per overlapping tile (reference resample_to_equi7_tiles,
@@ -215,6 +223,7 @@ def resample_to_equi7_tiles(
         raise ValueError(f"no sampling configured for {tiling_id}")
     s = float(sampling)
     n_px = int(round(ts / s))
+    name_fn = naming_fn or default_naming
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -243,6 +252,7 @@ def resample_to_equi7_tiles(
                             "image_id": row["image_id"],
                             "subgrid": t.subgrid,
                             "tilename": t.tilename,
+                            "out_name": name_fn(row["image_id"], t.tilename),
                             "bytes": blob,
                             "w": n_px,
                             "h": n_px,
@@ -258,9 +268,9 @@ def resample_to_equi7_tiles(
             yield pd.DataFrame(
                 out_rows,
                 columns=[
-                    "image_id", "subgrid", "tilename", "bytes", "w", "h",
-                    "fmt", "dtype", "nodata", "ll_x", "ll_y", "sampling",
-                    "n_valid",
+                    "image_id", "subgrid", "tilename", "out_name", "bytes",
+                    "w", "h", "fmt", "dtype", "nodata", "ll_x", "ll_y",
+                    "sampling", "n_valid",
                 ],
             )
 

@@ -1,0 +1,100 @@
+"""Streaming paths + salted mosaic grouped-map."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from equi7grid_spark.images import SCHEMA as IMAGES_SCHEMA
+from equi7grid_spark.images import synthetic_images
+
+
+def test_streaming_tile_assignment(spark, tmp_path):
+    from equi7grid_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_tile_assignment,
+    )
+
+    src = str(tmp_path / "landing")
+    synthetic_images(spark, 500, with_bytes=False).write.parquet(src)
+    out = streaming_tile_assignment(spark, src, IMAGES_SCHEMA)
+    assert out.isStreaming
+    q = run_available_now(out.select("image_id", "subgrid", "tilename"),
+                          str(tmp_path / "ckpt"), "stream_assign")
+    res = spark.sql("select * from stream_assign")
+    assert res.count() == 500
+    # streaming result == batch result
+    batch = (
+        __import__("equi7grid_spark.operators.assign", fromlist=["assign_tiles"])
+        .assign_tiles(synthetic_images(spark, 500, with_bytes=False))
+        .select("image_id", "subgrid", "tilename")
+    )
+    assert res.exceptAll(batch).count() == 0
+    assert batch.exceptAll(res).count() == 0
+
+
+def test_streaming_windowed_events(spark, tmp_path):
+    from equi7grid_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_windowed_event_counts,
+    )
+
+    # streaming parquet source needs a directory
+    src = str(tmp_path / "events_landing")
+    spark.read.parquet("/root/testdata/sf0.01/events.parquet").write.parquet(src)
+    agg = streaming_windowed_event_counts(spark, src)
+    run_available_now(agg, str(tmp_path / "ckpt2"), "stream_events")
+    res = spark.sql("select * from stream_events")
+    # must equal the batch oracle query
+    from equi7grid_spark.queries import q_events_windowed
+
+    batch = q_events_windowed(spark, "/root/testdata/sf0.01")
+    assert res.count() == batch.count()
+    assert res.exceptAll(batch).count() == 0
+
+
+def _raster_row(image_id, arr, tile=("EU", "EU_E048N012T6")):
+    return {
+        "image_id": image_id,
+        "subgrid": tile[0],
+        "tilename": tile[1],
+        "bytes": arr.tobytes(),
+        "w": arr.shape[1],
+        "h": arr.shape[0],
+        "dtype": str(arr.dtype),
+        "nodata": -1.0,
+    }
+
+
+def test_mosaic_tiles_salted(spark):
+    from equi7grid_spark.operators.partitioning import mosaic_tiles
+
+    nodata = -1
+    a = np.full((4, 4), nodata, dtype=np.int16)
+    a[:2] = 10
+    b = np.full((4, 4), nodata, dtype=np.int16)
+    b[1:3] = 20
+    c = np.full((4, 4), nodata, dtype=np.int16)
+    c[3, 3] = 5
+    pdf = pd.DataFrame([_raster_row("i1", a), _raster_row("i2", b), _raster_row("i3", c)])
+    df = spark.createDataFrame(pdf)
+    out = mosaic_tiles(df, reducer="max", n_salt=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_images == 3
+    m = np.frombuffer(r.bytes, dtype=np.int16).reshape(4, 4)
+    assert (m[0] == 10).all()          # only a
+    assert (m[1] == 20).all()          # max(a=10, b=20)
+    assert (m[2] == 20).all()          # only b
+    assert m[3, 3] == 5 and m[3, 0] == nodata
+
+
+def test_salted_repartition_spreads(spark):
+    from equi7grid_spark.operators.partitioning import with_salt
+
+    df = synthetic_images(spark, 2000, with_bytes=False)
+    salted = with_salt(df, "image_id", n_salt=8)
+    counts = salted.groupBy("salt").count().collect()
+    assert len(counts) == 8
+    sizes = [r["count"] for r in counts]
+    assert max(sizes) < 2 * min(sizes)  # roughly even
