@@ -49,10 +49,14 @@ HEADLINE = [
     "bbox_range_join",
     "knn_tiles",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "doc_fingerprint",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
     "events_windowed",
     "roi_search_global_t6",
+    "warp_raster_to_tiles",
+    "image_decode_stats",
 ]
 
 

@@ -27,14 +27,18 @@ def load_catalog_table():
     return pq.read_table(DATA_DIR / "tile_catalog.parquet")
 
 
-@lru_cache(maxsize=32)
-def catalog_cells(subgrid: str, tiling_id: str) -> dict[tuple[int, int], tuple[str, bool]]:
-    """(cell_ix, cell_iy) -> (tilename, covers_land) for one zone+level."""
+@lru_cache(maxsize=64)
+def catalog_cells(
+    subgrid: str, tiling_id: str, variant: str = "std"
+) -> dict[tuple[int, int], tuple[str, bool]]:
+    """(cell_ix, cell_iy) -> (tilename, covers_land) for one zone+level
+    (+ zone variant: 'std' or the ~100km land-buffered 'bfrd')."""
     t = load_catalog_table()
     import pyarrow.compute as pc
 
     mask = pc.and_(
-        pc.equal(t["subgrid"], subgrid), pc.equal(t["tiling_id"], tiling_id)
+        pc.and_(pc.equal(t["subgrid"], subgrid), pc.equal(t["tiling_id"], tiling_id)),
+        pc.equal(t["variant"], variant),
     )
     sub = t.filter(mask)
     ts = TILING_ID_TO_SIZE[tiling_id]
@@ -50,6 +54,6 @@ def catalog_cells(subgrid: str, tiling_id: str) -> dict[tuple[int, int], tuple[s
     }
 
 
-@lru_cache(maxsize=32)
-def catalog_name_set(subgrid: str, tiling_id: str) -> frozenset[str]:
-    return frozenset(n for n, _ in catalog_cells(subgrid, tiling_id).values())
+@lru_cache(maxsize=64)
+def catalog_name_set(subgrid: str, tiling_id: str, variant: str = "std") -> frozenset[str]:
+    return frozenset(n for n, _ in catalog_cells(subgrid, tiling_id, variant).values())

@@ -15,9 +15,12 @@ from equi7grid_spark.catalog import DATA_DIR
 from equi7grid_spark.constants import DEFAULT_SYSTEM_ORDER, TILING_ID_TO_SIZE
 
 
-def catalog_df(spark: SparkSession, tiling_id: str | None = None) -> DataFrame:
+def catalog_df(
+    spark: SparkSession, tiling_id: str | None = None, variant: str = "std"
+) -> DataFrame:
     """The prepare-job tile catalog as a DataFrame with int join keys."""
     df = spark.read.parquet(str(DATA_DIR / "tile_catalog.parquet"))
+    df = df.filter(F.col("variant") == variant).drop("variant")
     if tiling_id:
         df = df.filter(F.col("tiling_id") == tiling_id)
         ts = float(TILING_ID_TO_SIZE[tiling_id])

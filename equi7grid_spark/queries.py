@@ -796,9 +796,10 @@ def q_zone_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("tile_assign_t6_counts", None)
 def q_tile_assign_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equi7grid_spark.operators.assign import tile_counts
+
     pts = _derived_lonlat(spark, sf_dir)
-    out = assign_tiles(pts, tiling_id="T6")
-    return out.groupBy("subgrid", "tilename").agg(F.count(F.lit(1)).alias("n"))
+    return tile_counts(pts, tiling_id="T6").select("subgrid", "tilename", "n")
 
 
 @register("lonlat_roundtrip_maxerr", None)

@@ -153,8 +153,9 @@ def _emit(
     tiling_id: str,
     *,
     cover_land: bool,
+    variant: str = "std",
 ) -> list[TileRecord]:
-    cat = catalog_cells(cc, tiling_id)
+    cat = catalog_cells(cc, tiling_id, variant)
     ts = float(TILING_ID_TO_SIZE[tiling_id])
     out = []
     for ix, iy in sorted(cells):
@@ -186,7 +187,7 @@ def get_tiles_in_geog_bbox(
     out: list[TileRecord] = []
     for cc in grid.system_order:
         cells = _tiles_for_zone(cc, roi_rings, tiling_id, variant=variant)
-        out.extend(_emit(cells, cc, tiling_id, cover_land=cover_land))
+        out.extend(_emit(cells, cc, tiling_id, cover_land=cover_land, variant=variant))
     return out
 
 
@@ -205,7 +206,7 @@ def get_tiles_in_geom(
     out: list[TileRecord] = []
     for cc in grid.system_order:
         cells = _tiles_for_zone(cc, roi_rings, tiling_id, variant=variant)
-        out.extend(_emit(cells, cc, tiling_id, cover_land=cover_land))
+        out.extend(_emit(cells, cc, tiling_id, cover_land=cover_land, variant=variant))
     return out
 
 

@@ -142,16 +142,17 @@ def tilename(cc: str, ll_x: float, ll_y: float, tiling_id: str) -> str:
     return f"{cc}_E{tx:03d}{ns}{abs(ty):03d}T{tiling_id[1:]}"
 
 
-def build_catalog(projected_std: dict) -> None:
-    """Tiles intersecting each projected zone polygon, per level, with
-    engine-defined covers_land from the synthetic land mask."""
+def build_catalog(projected: dict) -> None:
+    """Tiles intersecting each projected zone polygon (std + buffered
+    variants), per level, with engine-defined covers_land from the
+    synthetic land mask."""
     land_geog = load_land_polys()
     rows = {
-        "subgrid": [], "tiling_id": [], "level": [], "tilename": [],
+        "variant": [], "subgrid": [], "tiling_id": [], "level": [], "tilename": [],
         "ll_x": [], "ll_y": [], "covers_land": [], "zone_boundary": [],
     }
-    for cc in DEFAULT_SYSTEM_ORDER:
-        proj = projected_std[(cc, "std")]
+    for cc, variant in [(c, v) for c in DEFAULT_SYSTEM_ORDER for v in ("std", "bfrd")]:
+        proj = projected[(cc, variant)]
         land_proj = project_polys(cc, land_geog)
         for level, (tid, ts) in STANDARD_TILINGS.items():
             t0 = time.time()
@@ -179,6 +180,7 @@ def build_catalog(projected_std: dict) -> None:
             order = np.lexsort((iy, ix))
             for j in order:
                 llx, lly = float(ix[j] * ts), float(iy[j] * ts)
+                rows["variant"].append(variant)
                 rows["subgrid"].append(cc)
                 rows["tiling_id"].append(tid)
                 rows["level"].append(level)
@@ -188,10 +190,11 @@ def build_catalog(projected_std: dict) -> None:
                 rows["covers_land"].append(bool(covers[j]))
                 rows["zone_boundary"].append(bool(isb[j]))
             print(
-                f"catalog {cc}/{tid}: {int(len(ix))} tiles "
+                f"catalog {cc}/{variant}/{tid}: {int(len(ix))} tiles "
                 f"({int(covers.sum())} land) in {time.time()-t0:.1f}s"
             )
     table = pa.table({
+        "variant": pa.array(rows["variant"], pa.string()),
         "subgrid": pa.array(rows["subgrid"], pa.string()),
         "tiling_id": pa.array(rows["tiling_id"], pa.string()),
         "level": pa.array(rows["level"], pa.int32()),
@@ -202,8 +205,12 @@ def build_catalog(projected_std: dict) -> None:
         "zone_boundary": pa.array(rows["zone_boundary"], pa.bool_()),
     })
     pq.write_table(table, DATA_DIR / "tile_catalog.parquet")
-    t6 = table.filter(pa.compute.equal(table["tiling_id"], "T6"))
-    print(f"catalog total={table.num_rows} T6={t6.num_rows} (reference golden: 1801)")
+    std = table.filter(pa.compute.equal(table["variant"], "std"))
+    t6 = std.filter(pa.compute.equal(std["tiling_id"], "T6"))
+    print(
+        f"catalog total={table.num_rows} std-T6={t6.num_rows} "
+        f"(reference golden: 1801)"
+    )
 
 
 def main() -> None:

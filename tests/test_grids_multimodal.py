@@ -105,3 +105,38 @@ def test_audio_video_stubs(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no audio codecs"):
         audio_stats(bad).collect()
+
+
+def test_geoparquet_export(tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from equi7grid_spark.export import tiles_to_geoparquet
+    from equi7grid_spark.roi import get_tiles_in_geog_bbox
+    from equi7grid_spark.wkb import parse_wkb
+
+    tiles = get_tiles_in_geog_bbox((16, 48, 18, 50), "T6")
+    out = tmp_path / "tiles.parquet"
+    tiles_to_geoparquet(tiles, out)
+    t = pq.read_table(out)
+    assert t.num_rows == 4
+    meta = json.loads(t.schema.metadata[b"geo"])
+    assert meta["primary_column"] == "geometry"
+    ring = parse_wkb(t.column("geometry")[0].as_py())[0][0]
+    # EU_E048N012T6 footprint must contain the reference golden point
+    # (18.507, 44.571) → tests/test_equi7grid.py:164-174
+    assert ring[:, 0].min() < 18.507 < ring[:, 0].max()
+    assert ring[:, 1].min() < 44.571 < ring[:, 1].max()
+
+
+def test_buffered_roi_search():
+    from equi7grid_spark.constants import make_grid_config
+    from equi7grid_spark.roi import get_tiles_in_geog_bbox
+
+    bbox = (49, 58, 53, 64)  # EU/AS transition region (51.12, 61.71)
+    std = get_tiles_in_geog_bbox(bbox, "T6")
+    bfrd = get_tiles_in_geog_bbox(bbox, "T6", grid=make_grid_config(500, buffered=True))
+    # buffered zones overlap → superset of tiles
+    assert {t.tilename for t in std} <= {t.tilename for t in bfrd}
+    assert len(bfrd) > len(std)
