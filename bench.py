@@ -100,7 +100,7 @@ def flagship_run(n_threads: int) -> None:
     # inflate single trials; the min is the reproducible, interference-free
     # figure for both cluster sizes alike.
     best = None
-    for _ in range(3):
+    for _ in range(4):
         stats = run(spark, IMAGES_PATH, "T6", None)
         if best is None or stats["seconds"] < best["seconds"]:
             best = stats
@@ -111,8 +111,9 @@ def flagship_run(n_threads: int) -> None:
 def measure_scaling() -> dict:
     ensure_images()
     res: dict = {}
-    for n in (SCALE_N, 4 * SCALE_N):
-        time.sleep(10)  # let the previous session's teardown settle
+    # 4N first: it is the side most sensitive to residual host load.
+    for n in (4 * SCALE_N, SCALE_N):
+        time.sleep(20)  # let the previous session's teardown settle
         cmd = [sys.executable, __file__, "--flagship-threads", str(n)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{n-1}"] + cmd
