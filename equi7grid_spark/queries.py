@@ -363,6 +363,39 @@ def q_tile_counts_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_name_at(ts: int, tid: str) -> str:
+    return f"""
+           subgrid || '_E' ||
+           lpad(((floor(x/{ts})*{ts})/100000)::INT::VARCHAR, 3, '0') ||
+           (CASE WHEN floor(y/{ts})*{ts} < 0 THEN 'S' ELSE 'N' END) ||
+           lpad(abs((floor(y/{ts})*{ts})/100000)::INT::VARCHAR, 3, '0') ||
+           '{tid}'
+    """
+
+
+@register(
+    "tilename_multilevel",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY})
+    SELECT key,
+           {_sql_name_at(600000, 'T6')} AS t6,
+           {_sql_name_at(300000, 'T3')} AS t3,
+           {_sql_name_at(100000, 'T1')} AS t1
+    FROM d
+    """,
+)
+def q_tilename_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass, all three standard levels — the hierarchy assignment a
+    training pipeline materializes at write time for partition pruning."""
+    d = _derived_xy(spark, sf_dir)
+    return d.select(
+        "key",
+        TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T6").alias("t6"),
+        TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T3").alias("t3"),
+        TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T1").alias("t1"),
+    )
+
+
 _KNN_TILES = [
     ("EU_E048N012T6", 5100000.0, 1500000.0),
     ("EU_E048N018T6", 5100000.0, 2100000.0),
@@ -574,6 +607,60 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(win.alias("win_start"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("total_value"))
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id::INT AS session_id,
+           count(*)::BIGINT AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           round(sum(value), 3) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → flag →
+    running sum → per-session agg. Batch twin of the stateful
+    streaming sessionizer (streaming/pipeline.py)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull() | F.expr("ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTES"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    s = e.withColumn("new_session", new_s).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", F.col("session_id").cast("int").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.round(F.sum("value"), 3).alias("total_value"),
     )
 
 

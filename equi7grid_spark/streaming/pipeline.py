@@ -58,6 +58,94 @@ def streaming_windowed_event_counts(
     )
 
 
+SESSION_GAP_SECONDS = 30 * 60
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start string, session_end string, "
+    "n_events long, total_value double"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    applyInPandasWithState (per-user session state, event-time timeout).
+
+    Emits a session row when a gap closes it in-stream or when the
+    watermark times it out. The batch twin (queries.q_sessionize, with
+    a DuckDB value oracle) computes the same sessions with window
+    functions; the streaming test checks closed-session equality.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        user_id = int(key[0])
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        out = []
+
+        def emit(start_us: int, last_us: int, n: int, total: float):
+            out.append(
+                {
+                    "user_id": user_id,
+                    "session_start": pd.Timestamp(start_us, unit="us").strftime("%Y-%m-%d %H:%M:%S"),
+                    "session_end": pd.Timestamp(last_us, unit="us").strftime("%Y-%m-%d %H:%M:%S"),
+                    "n_events": n,
+                    "total_value": round(total, 3),
+                }
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                emit(start, last, n, total)
+                state.remove()
+        else:
+            if len(rows):
+                rows = rows.sort_values(["ts", "event_id"])
+                ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+                vals = rows["value"].to_numpy()
+                if state.exists:
+                    start, last, n, total = state.get
+                else:
+                    start = last = int(ts_us[0])
+                    n, total = 0, 0.0
+                for t_us, v in zip(ts_us.tolist(), vals.tolist()):
+                    if n > 0 and t_us - last > gap_seconds * 1_000_000:
+                        emit(start, last, n, total)
+                        start, n, total = t_us, 0, 0.0
+                    if n == 0:
+                        start = t_us
+                    last = t_us
+                    n += 1
+                    total += float(v)
+                state.update((int(start), int(last), int(n), float(total)))
+                state.setTimeoutTimestamp(int(last // 1000) + gap_seconds * 1000)
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            _SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
     """Drain everything currently available into an in-memory sink and
     stop — the batch-equivalent execution used by tests and backfills."""

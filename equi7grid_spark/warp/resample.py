@@ -92,6 +92,66 @@ def raster_geog_bbox(
     return float(lon.min()), float(lat.min()), float(lon.max()), float(lat.max())
 
 
+def _dilate8(mask: np.ndarray, iterations: int = 3) -> np.ndarray:
+    """Binary dilation with the 8-connected structuring element
+    (reference warp.py:137-141), via shifted ORs."""
+    out = mask.copy()
+    for _ in range(iterations):
+        m = out.copy()
+        out[1:, :] |= m[:-1, :]
+        out[:-1, :] |= m[1:, :]
+        out[:, 1:] |= m[:, :-1]
+        out[:, :-1] |= m[:, 1:]
+        out[1:, 1:] |= m[:-1, :-1]
+        out[1:, :-1] |= m[:-1, 1:]
+        out[:-1, 1:] |= m[1:, :-1]
+        out[:-1, :-1] |= m[1:, 1:]
+    return out
+
+
+def _coarse_valid_mask(
+    arr: np.ndarray, nodata: float, max_dim: int = 400
+) -> tuple[np.ndarray, int]:
+    """Downsampled (~max_dim, reference warp.py:94) valid-data mask,
+    dilated 3x 8-connected: block-any of `arr != nodata`."""
+    h, w = arr.shape
+    f = max(1, int(np.ceil(max(h, w) / max_dim)))
+    ph, pw = (-h) % f, (-w) % f
+    valid = arr != nodata
+    if ph or pw:
+        valid = np.pad(valid, ((0, ph), (0, pw)))
+    coarse = valid.reshape(valid.shape[0] // f, f, valid.shape[1] // f, f).any(axis=(1, 3))
+    return _dilate8(coarse, 3), f
+
+
+def _tile_touches_mask(
+    t: TileRecord,
+    mask: np.ndarray,
+    factor: int,
+    src_crs: str | int,
+    src_extent: tuple[float, float, float, float],
+    arr_shape: tuple[int, int],
+    n_samples: int = 32,
+) -> bool:
+    """Does the tile footprint hit any valid (dilated) coarse cell?
+    Sampled inverse-warp of the mask at n_samples^2 tile points."""
+    ts = t.tile_size
+    c = (np.arange(n_samples) + 0.5) * (ts / n_samples)
+    X, Y = np.meshgrid(t.ll_x + c, t.ll_y + c)
+    lon, lat = aeqd_inverse(t.subgrid, X.ravel(), Y.ravel())
+    sx, sy = crs_forward(src_crs, lon, lat)
+    x_min, y_min, x_max, y_max = src_extent
+    h, w = arr_shape
+    res_x = (x_max - x_min) / w
+    res_y = (y_max - y_min) / h
+    ci = np.floor((sx - x_min) / (res_x * factor)).astype(np.int64)
+    ri = np.floor((y_max - sy) / (res_y * factor)).astype(np.int64)
+    inb = (ri >= 0) & (ri < mask.shape[0]) & (ci >= 0) & (ci < mask.shape[1])
+    if not inb.any():
+        return False
+    return bool(mask[ri[inb], ci[inb]].any())
+
+
 def overlapping_tiles(
     crs: str | int,
     extent: tuple[float, float, float, float],
@@ -104,11 +164,26 @@ def overlapping_tiles(
     accurate_boundary: bool = False,
 ) -> list[TileRecord]:
     """Tiles overlapping a raster footprint (reference
-    get_overlapping_tiles, warp.py:333-401, geog-bbox path)."""
+    get_overlapping_tiles, warp.py:333-401).
+
+    With ``accurate_boundary`` and pixel data available, candidates
+    from the valid-bbox search are additionally filtered against the
+    downsampled+dilated valid-data mask (reference's accurate-boundary
+    semantics, warp.py:79-156, with sampled mask lookup instead of
+    polygonization — the boundary is only used to select tiles)."""
     bbox = raster_geog_bbox(
         crs, extent, arr=arr, nodata=nodata, accurate_boundary=accurate_boundary
     )
-    return get_tiles_in_geog_bbox(bbox, tiling_id, cover_land=cover_land, grid=grid)
+    tiles = get_tiles_in_geog_bbox(bbox, tiling_id, cover_land=cover_land, grid=grid)
+    if accurate_boundary and arr is not None and nodata is not None:
+        valid = arr != nodata
+        if not valid.all():
+            mask, factor = _coarse_valid_mask(arr, nodata)
+            tiles = [
+                t for t in tiles
+                if _tile_touches_mask(t, mask, factor, crs, extent, arr.shape)
+            ]
+    return tiles
 
 
 def _bilinear(arr: np.ndarray, row_f: np.ndarray, col_f: np.ndarray, nodata: float):

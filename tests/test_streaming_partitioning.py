@@ -98,3 +98,34 @@ def test_salted_repartition_spreads(spark):
     assert len(counts) == 8
     sizes = [r["count"] for r in counts]
     assert max(sizes) < 2 * min(sizes)  # roughly even
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    from equi7grid_spark.queries import q_sessionize
+    from equi7grid_spark.streaming.pipeline import run_available_now, streaming_sessionize
+
+    src = str(tmp_path / "events_sess")
+    spark.read.parquet("/root/testdata/sf0.01/events.parquet").write.parquet(src)
+    sess = streaming_sessionize(spark, src)
+    run_available_now(sess, str(tmp_path / "ckpt_sess"), "stream_sessions")
+    streamed = spark.sql("select * from stream_sessions")
+
+    batch = q_sessionize(spark, "/root/testdata/sf0.01")
+    # Streaming emits sessions closed by an in-stream gap plus final
+    # sessions timed out as later micro-batches advance the watermark;
+    # sessions still open at end-of-stream are withheld. So:
+    #   gap-closed ⊆ streamed ⊆ all batch sessions (value-exact rows).
+    from pyspark.sql import Window, functions as F
+
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    w = Window.partitionBy("user_id")
+    gap_closed = (
+        batch.withColumn("max_sid", F.max("session_id").over(w))
+        .filter(F.col("session_id") != F.col("max_sid"))
+        .select(*cols)
+    )
+    all_sessions = batch.select(*cols)
+    s = streamed.select(*cols)
+    assert s.count() >= gap_closed.count()
+    assert s.exceptAll(all_sessions).count() == 0   # nothing invented
+    assert gap_closed.exceptAll(s).count() == 0     # every gap-closed emitted

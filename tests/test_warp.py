@@ -211,3 +211,25 @@ def test_warp_pixels_pinned_golden():
     # pinned by the first verified run (see test_warp_bilinear_matches_analytic)
     assert valid.sum() == 8298, valid.sum()
     assert digest == "0c6c4918da2fe56d554770b3c11b59e0ba6c4264", digest
+
+
+def test_accurate_boundary_drops_nodata_tiles():
+    """An L-shaped valid region must not select tiles covered only by
+    nodata (reference accurate-boundary semantics, warp.py:79-156)."""
+    arr, extent, nodata, crs = lonlat_img_continuous()
+    # full-extent valid → 4 tiles (baseline)
+    full = overlapping_tiles(crs, extent, "T6", arr=arr, nodata=nodata,
+                             accurate_boundary=True)
+    assert len(full) == 4
+    # wipe the southern half (lat < 61.95 → bottom rows): only the
+    # northern tiles survive
+    arr2 = arr.copy()
+    arr2[13:, :] = nodata  # rows 13..24 = south half (y_max at row 0)
+    part = overlapping_tiles(crs, extent, "T6", arr=arr2, nodata=nodata,
+                             accurate_boundary=True)
+    assert set(t.tilename for t in part) < set(t.tilename for t in full)
+    assert len(part) >= 2
+    # without accurate_boundary the full bbox keeps all 4
+    naive = overlapping_tiles(crs, extent, "T6", arr=arr2, nodata=nodata,
+                              accurate_boundary=False)
+    assert len(naive) == 4
