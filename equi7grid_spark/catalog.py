@@ -16,6 +16,8 @@ from pathlib import Path
 import numpy as np
 import pyarrow.parquet as pq
 
+from equi7grid_spark.data_loader import data_path
+
 from equi7grid_spark.constants import TILING_ID_TO_SIZE
 
 DATA_DIR = Path(__file__).parent / "data"
@@ -24,7 +26,7 @@ DATA_DIR = Path(__file__).parent / "data"
 @lru_cache(maxsize=1)
 def load_catalog_table():
     """The full catalog as a pyarrow table."""
-    return pq.read_table(DATA_DIR / "tile_catalog.parquet")
+    return pq.read_table(data_path("tile_catalog.parquet"))
 
 
 @lru_cache(maxsize=64)

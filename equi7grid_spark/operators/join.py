@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from equi7grid_spark.catalog import DATA_DIR
+from equi7grid_spark.data_loader import data_path
 from equi7grid_spark.constants import DEFAULT_SYSTEM_ORDER, TILING_ID_TO_SIZE
 
 
@@ -19,7 +19,7 @@ def catalog_df(
     spark: SparkSession, tiling_id: str | None = None, variant: str = "std"
 ) -> DataFrame:
     """The prepare-job tile catalog as a DataFrame with int join keys."""
-    df = spark.read.parquet(str(DATA_DIR / "tile_catalog.parquet"))
+    df = spark.read.parquet(data_path("tile_catalog.parquet"))
     df = df.filter(F.col("variant") == variant).drop("variant")
     if tiling_id:
         df = df.filter(F.col("tiling_id") == tiling_id)

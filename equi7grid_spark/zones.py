@@ -29,6 +29,7 @@ from pathlib import Path
 import numpy as np
 
 from equi7grid_spark.constants import DEFAULT_SYSTEM_ORDER
+from equi7grid_spark.data_loader import data_path
 from equi7grid_spark.geom import points_in_rings
 
 DATA_DIR = Path(__file__).parent / "data"
@@ -42,7 +43,7 @@ PF_OUT, PF_IN, PF_BOUNDARY = 0, 1, 2
 @lru_cache(maxsize=4)
 def load_zone_polys(variant: str = "std") -> dict[str, list[list[np.ndarray]]]:
     """cc -> list of polygon pieces, each a list of (n,2) lon/lat rings."""
-    npz = np.load(DATA_DIR / "zones_geog.npz")
+    npz = np.load(data_path("zones_geog.npz"))
     index = npz["index"]  # array of "CC_variant_p{i}_r{j}" key strings
     out: dict[str, list[list[np.ndarray]]] = {}
     for key in index:
@@ -64,7 +65,7 @@ def load_zone_polys(variant: str = "std") -> dict[str, list[list[np.ndarray]]]:
 @lru_cache(maxsize=4)
 def load_prefilter(variant: str = "std") -> dict[str, np.ndarray]:
     """cc -> uint8 grid[PF_NX, PF_NY] of OUT/IN/BOUNDARY states."""
-    npz = np.load(DATA_DIR / "prefilter.npz")
+    npz = np.load(data_path("prefilter.npz"))
     return {cc: npz[f"{cc}_{variant}"] for cc in DEFAULT_SYSTEM_ORDER}
 
 
@@ -72,7 +73,7 @@ def load_prefilter(variant: str = "std") -> dict[str, np.ndarray]:
 def load_zone_polys_proj(variant: str = "std") -> dict[str, list[list[np.ndarray]]]:
     """cc -> projected (AEQD meters) zone polygon pieces, densified at
     0.1 degree before projection (reference core.py:406-410 semantics)."""
-    npz = np.load(DATA_DIR / "zones_proj.npz")
+    npz = np.load(data_path("zones_proj.npz"))
     index = npz["index"]
     out: dict[str, list[list[np.ndarray]]] = {}
     for key in index:
