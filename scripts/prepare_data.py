@@ -142,10 +142,48 @@ def tilename(cc: str, ll_x: float, ll_y: float, tiling_id: str) -> str:
     return f"{cc}_E{tx:03d}{ns}{abs(ty):03d}T{tiling_id[1:]}"
 
 
-def build_catalog(projected: dict) -> None:
+def _covers_land_sampled(
+    cc: str,
+    ix: np.ndarray,
+    iy: np.ndarray,
+    ts: float,
+    k: int,
+    land_geog: list,
+    variant: str = "std",
+) -> np.ndarray:
+    """Per tile: does any of a k×k sample of tile points lie inside both
+    the land mask and this zone (geographic space)?"""
+    from equi7grid_spark.geodesy import aeqd_inverse
+
+    n = ix.size
+    if n == 0:
+        return np.zeros(0, bool)
+    offs = (np.arange(k) + 0.5) / k * ts
+    OX, OY = np.meshgrid(offs, offs)
+    px = (ix[:, None] * ts + OX.ravel()[None, :]).ravel()
+    py = (iy[:, None] * ts + OY.ravel()[None, :]).ravel()
+    lon, lat = aeqd_inverse(cc, px, py)
+    in_land = points_in_polys(lon, lat, land_geog)
+    hit = np.zeros(lon.shape, bool)
+    if in_land.any():
+        # prefiltered zone test (1-degree grid + exact PIP only on
+        # boundary cells) — orders of magnitude faster than raw PIP
+        # against the 5-11k-vertex zone rings
+        from equi7grid_spark.zones import zone_membership
+
+        sub_lon, sub_lat = lon[in_land], lat[in_land]
+        in_zone = zone_membership(
+            sub_lon, sub_lat, buffered=(variant == "bfrd"), system_order=(cc,)
+        )[:, 0]
+        hit[in_land] = in_zone
+    return hit.reshape(n, k * k).any(axis=1)
+
+
+def build_catalog(projected: dict, zones_geog: dict) -> None:
     """Tiles intersecting each projected zone polygon (std + buffered
     variants), per level, with engine-defined covers_land from the
-    synthetic land mask."""
+    synthetic land mask intersected with each zone (reference
+    core.py:403-411 semantics)."""
     land_geog = load_land_polys()
     rows = {
         "variant": [], "subgrid": [], "tiling_id": [], "level": [], "tilename": [],
@@ -153,7 +191,6 @@ def build_catalog(projected: dict) -> None:
     }
     for cc, variant in [(c, v) for c in DEFAULT_SYSTEM_ORDER for v in ("std", "bfrd")]:
         proj = projected[(cc, variant)]
-        land_proj = project_polys(cc, land_geog)
         for level, (tid, ts) in STANDARD_TILINGS.items():
             t0 = time.time()
             ix, iy, isb = cells_intersecting_polys(proj, float(ts))
@@ -163,20 +200,16 @@ def build_catalog(projected: dict) -> None:
             min_x, min_y = SYSTEMS[cc].min_xy
             keep = (ix * ts >= min_x - 1e-6) & (iy * ts >= min_y - 1e-6)
             ix, iy, isb = ix[keep], iy[keep], isb[keep]
-            # covers_land: tile cell crossed by a land boundary, or its
-            # center inside the land mask (evaluated only on catalog cells).
-            lb = set()
-            for rings in land_proj:
-                lbx, lby = boundary_cells(rings, float(ts))
-                lb.update(zip(lbx.tolist(), lby.tolist()))
-            on_boundary = np.array([(int(a), int(b)) in lb for a, b in zip(ix, iy)], bool)
-            centers_x = (ix + 0.5) * ts
-            centers_y = (iy + 0.5) * ts
-            interior = np.zeros(ix.shape, bool)
-            todo = ~on_boundary
-            if todo.any():
-                interior[todo] = points_in_polys(centers_x[todo], centers_y[todo], land_proj)
-            covers = on_boundary | interior
+            # covers_land with the reference's land ∩ zone semantics
+            # (core.py:403-411: land is intersected with the *zone* in
+            # geographic space before projection — e.g. Alaska must not
+            # make AS tiles 'land'): sample a kxk grid of tile points,
+            # inverse-project, and require a sample inside BOTH the land
+            # mask and this zone (geographic PIP).
+            k = 24 if ts >= 300000 else 12
+            covers = _covers_land_sampled(
+                cc, ix, iy, float(ts), k, land_geog, variant
+            )
             order = np.lexsort((iy, ix))
             for j in order:
                 llx, lly = float(ix[j] * ts), float(iy[j] * ts)
@@ -231,7 +264,7 @@ def main() -> None:
     save_zones_geog(zones)
     build_prefilter(zones)
     projected = save_zones_proj(zones)
-    build_catalog(projected)
+    build_catalog(projected, zones)
 
 
 if __name__ == "__main__":

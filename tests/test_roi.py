@@ -56,9 +56,9 @@ def test_global_bbox_cover_land():
 
 
 def test_global_bbox_cover_land_engine_count():
-    # engine-defined land golden (synthetic mask), pinned for regression
+    # engine-defined land golden (synthetic mask ∩ zone), pinned for regression
     r = get_tiles_in_geog_bbox((-179.9, -89.9, 179.9, 89.9), "T6", cover_land=True)
-    assert len(r) == 692
+    assert len(r) == 652
 
 
 def test_north_pole_large():
@@ -136,11 +136,9 @@ def test_siberia_alaska_antimeridian_polygon():
     )
 
 
-@pytest.mark.xfail(
-    reason="synthetic land mask marks the Bering-strait tiles land",
-    strict=False,
-)
 def test_siberia_alaska_land():
+    # passes exactly with land ∩ zone semantics (Alaska is NA-zone land,
+    # so the AS N096 tiles covering it in AS projection are not 'land')
     # reference :371-385
     r = names(get_tiles_in_geom(SIBERIA_ALASKA, "T6", cover_land=True))
     assert r == sorted(
