@@ -874,6 +874,68 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # geodesic pipeline (no SQL equivalent → rows-only oracle)
 # ---------------------------------------------------------------------------
 
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT l_orderkey)::BIGINT AS n_orders
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic relational aggregation (filter pushdown + partial agg +
+    distinct count) with an exact DuckDB oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "top_customers_by_zone",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS pt_id,
+             (((c_custkey*9973) % 36000)/100.0 - 180.0)::DOUBLE AS lon,
+             (((c_custkey*7919) % 17800)/100.0 - 89.0)::DOUBLE AS lat
+      FROM customer
+    ),
+    spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT p.pt_id, s.total,
+           row_number() OVER (ORDER BY s.total DESC, p.pt_id) AS rank
+    FROM pts p JOIN spend s ON s.o_custkey = p.pt_id
+    ORDER BY rank LIMIT 50
+    """,
+)
+def q_top_customers_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + window top-k across the star schema (customer x orders),
+    exact DuckDB oracle. (Zone columns are attached in the rows-only
+    variant zone_assign_counts; this one stays SQL-pure.)"""
+    from pyspark.sql import Window
+
+    pts = _derived_lonlat(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    j = pts.join(spend, pts["pt_id"] == spend["o_custkey"]).select("pt_id", "total")
+    w = Window.orderBy(F.col("total").desc(), F.col("pt_id").asc())
+    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 50)
+
+
 @register("zone_assign_counts", None)
 def q_zone_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _derived_lonlat(spark, sf_dir)
@@ -966,6 +1028,61 @@ def q_warp_raster_to_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(pdf), "T6", 1000.0, resampling="bilinear"
     )
     return out.select("image_id", "subgrid", "tilename", "n_valid").orderBy("tilename")
+
+
+@register("ann_ivf_kmeans", None)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: MLlib KMeans (iterative, seeded) trains the coarse
+    quantizer; candidates restricted to the query's cell before the
+    exact cosine top-k. Rows-only oracle (iterative algorithm)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "vec", array_to_vector(F.transform("embedding", lambda v: v.cast("double")))
+    )
+    km = KMeans(k=8, seed=42, maxIter=10, featuresCol="vec", predictionCol="cell")
+    model = km.fit(e)
+    assigned = model.transform(e).select(
+        "vec_id", F.col("cell"), vector_to_array("vec").alias("v")
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("cell").alias("qcell"), F.col("v").alias("qv")
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cid"), F.col("cell").alias("ccell"), F.col("v").alias("cv")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(a), F.col(b), lambda p, s: p * s), F.lit(0.0), lambda acc, v: acc + v
+    )
+    j = q.join(c, (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("cid")))
+    cos = dot("qv", "cv") / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("cv", "cv")))
+    w = Window.partitionBy("qid").orderBy(F.col("_c").desc(), F.col("cid").asc())
+    return (
+        j.withColumn("_c", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", F.col("rank").cast("int").alias("rank"), "cid")
+    )
+
+
+@register("images_in_roi", None)
+def q_images_in_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROI-filtered image selection: tile-assign synthetic images, then
+    semi-join against the broadcast ROI tile list (the engine's
+    point-in-ROI query at table scale). Rows-only oracle."""
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.roi import get_tiles_in_geog_bbox
+
+    imgs = synthetic_images(spark, 20000, with_bytes=False)
+    assigned = assign_tiles(imgs, tiling_id="T6")
+    roi_tiles = get_tiles_in_geog_bbox((0.0, 40.0, 30.0, 55.0), "T6")
+    tiles_df = spark.createDataFrame(
+        [(t.subgrid, t.tilename) for t in roi_tiles], "subgrid string, tilename string"
+    )
+    sel = assigned.join(F.broadcast(tiles_df), ["subgrid", "tilename"], "left_semi")
+    return sel.groupBy("subgrid", "tilename").agg(F.count(F.lit(1)).alias("n_images"))
 
 
 @register("images_tile_assign", None)
