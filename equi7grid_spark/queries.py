@@ -878,8 +878,9 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
+             AS revenue_cents,
            count(*)::BIGINT AS n_rows,
            count(DISTINCT l_orderkey)::BIGINT AS n_orders
     FROM lineitem
@@ -889,14 +890,18 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic relational aggregation (filter pushdown + partial agg +
-    distinct count) with an exact DuckDB oracle."""
+    distinct count) with an exact DuckDB oracle. Money is summed as
+    per-row-rounded integer cents: double sums are order-dependent in
+    the last ulp, and Spark's parallel partial aggregation vs DuckDB's
+    sequential sum can flip a round(...,2) boundary."""
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") < "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
