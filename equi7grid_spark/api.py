@@ -200,6 +200,29 @@ class Equi7Grid:
         """reference warp.py:404-420 — names → validated tiles."""
         return [self.get_tile_from_name(n) for n in names]
 
+    # -- (de)serialization (reference core.py:605-648, docs/guides/grid.ipynb)
+    def to_grid_def(self) -> dict:
+        from equi7grid_spark.grids import grid_to_def
+
+        return grid_to_def(self.config)
+
+    def to_file(self, path) -> None:
+        from equi7grid_spark.grids import grid_to_file
+
+        grid_to_file(self.config, path)
+
+    @classmethod
+    def from_file(cls, path) -> "Equi7Grid":
+        from equi7grid_spark.grids import grid_from_file
+
+        return cls(grid_from_file(path))
+
+    @classmethod
+    def from_grid_def(cls, d: dict) -> "Equi7Grid":
+        from equi7grid_spark.grids import grid_from_def
+
+        return cls(grid_from_def(d))
+
 
 def get_standard_equi7grid(
     sampling, *, buffered: bool = False, continent_order: list[str] | None = None

@@ -31,6 +31,30 @@ def tile_footprint_lonlat(subgrid: str, ll_x: float, ll_y: float, tile_size: flo
     return np.column_stack([lon, lat])
 
 
+def tiles_to_ogc_json(tiles) -> dict:
+    """GeoJSON FeatureCollection of tile footprints in lon/lat
+    (reference `to_ogc_json` export, docs/guides/tiling_system.ipynb)."""
+    feats = []
+    for t in tiles:
+        name = getattr(t, "tilename", None) or t.name
+        ring = tile_footprint_lonlat(t.subgrid, t.ll_x, t.ll_y, t.tile_size)
+        feats.append(
+            {
+                "type": "Feature",
+                "properties": {
+                    "tilename": name,
+                    "subgrid": t.subgrid,
+                    "covers_land": bool(getattr(t, "covers_land", False)),
+                },
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[float(a), float(b)] for a, b in ring]],
+                },
+            }
+        )
+    return {"type": "FeatureCollection", "features": feats}
+
+
 def tiles_to_geoparquet(tiles, path: str | Path) -> None:
     """`tiles`: iterable of objects with subgrid/tilename-or-name/
     ll_x/ll_y/tile_size (TileRecord or api.Tile)."""

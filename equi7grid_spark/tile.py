@@ -230,6 +230,18 @@ class Tile:
         a0, b0, a1, b1 = extent
         return not (a1 < x0 or a0 > x1 or b1 < y0 or b0 > y1)
 
+    def overlaps_extent(self, extent: tuple[float, float, float, float]) -> bool:
+        """Strict interior overlap without containment either way
+        (shapely `overlaps` semantics, docs/guides/tile.ipynb)."""
+        if not self.intersects_extent(extent) or self.touches_extent(extent):
+            return False
+        return not (self.within_extent(extent) or self.contains_extent(extent))
+
+    def contains_extent(self, extent: tuple[float, float, float, float]) -> bool:
+        x0, y0, x1, y1 = self.outer_boundary_extent
+        a0, b0, a1, b1 = extent
+        return x0 <= a0 and y0 <= b0 and a1 <= x1 and b1 <= y1
+
     def within_extent(self, extent: tuple[float, float, float, float]) -> bool:
         x0, y0, x1, y1 = self.outer_boundary_extent
         a0, b0, a1, b1 = extent

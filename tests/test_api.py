@@ -142,3 +142,39 @@ def test_tile_topology(e7grid):
     assert t.touches_extent((5400000, 1200000, 6000000, 1800000))
     assert t.within_extent((4000000, 1000000, 6000000, 2000000))
     assert t.covers_land  # central Europe
+
+def test_grid_def_methods(e7grid, tmp_path):
+    # docs/guides/grid.ipynb export cells: to_grid_def / to_file round trip
+    from equi7grid_spark.api import Equi7Grid
+
+    d = e7grid.to_grid_def()
+    assert d["kind"] == "equi7grid_spark"
+    g2 = Equi7Grid.from_grid_def(d)
+    assert g2.config == e7grid.config
+    p = tmp_path / "grid.json"
+    e7grid.to_file(p)
+    assert Equi7Grid.from_file(p).config == e7grid.config
+
+
+def test_tile_overlaps_predicate(e7grid):
+    t = e7grid.get_tile_from_name("EU_E048N012T6")
+    # partial overlap
+    assert t.overlaps_extent((5100000, 1500000, 6000000, 2000000))
+    # containment is not 'overlaps'
+    assert not t.overlaps_extent((4000000, 1000000, 6000000, 2000000))
+    assert not t.overlaps_extent((4900000, 1300000, 5000000, 1400000))
+    # touching is not 'overlaps'
+    assert not t.overlaps_extent((5400000, 1200000, 6000000, 1800000))
+
+
+def test_tiles_to_ogc_json(e7grid):
+    from equi7grid_spark.export import tiles_to_ogc_json
+
+    tiles = e7grid.get_tiles_in_geog_bbox((16, 48, 18, 50), "T6")
+    fc = tiles_to_ogc_json(tiles)
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == 4
+    f0 = fc["features"][0]
+    assert f0["properties"]["tilename"].startswith("EU_")
+    lon0, lat0 = f0["geometry"]["coordinates"][0][0]
+    assert -30 < lon0 < 60 and 35 < lat0 < 60
