@@ -96,11 +96,10 @@ def flagship_run(n_threads: int) -> None:
     warm = assign_tiles(df.limit(100_000).repartition(2 * n_threads))
     warm.agg(F.count(F.lit(1))).collect()
 
-    # min-of-3: intermittent scheduler stalls from prior-session teardown
-    # inflate single trials; the min is the reproducible, interference-free
-    # figure for both cluster sizes alike.
+    # min-of-2 within the subprocess absorbs per-trial scheduler noise;
+    # cross-run drift is handled by pairing rounds in measure_scaling.
     best = None
-    for _ in range(4):
+    for _ in range(2):
         stats = run(spark, IMAGES_PATH, "T6", None)
         if best is None or stats["seconds"] < best["seconds"]:
             best = stats
@@ -108,32 +107,49 @@ def flagship_run(n_threads: int) -> None:
     spark.stop()
 
 
-def measure_scaling() -> dict:
+def _flagship_subprocess(n: int) -> dict:
+    cmd = [sys.executable, __file__, "--flagship-threads", str(n)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{n-1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def measure_scaling(rounds: int = 3) -> dict:
+    """Median-of-paired-rounds estimator: the host's CPU steal drifts on
+    the minutes timescale, so a single (N, 4N) pair is noisy (observed
+    0.64-1.19 across full runs). Each round runs the 4N side then the N
+    side back to back; the per-round efficiency pairs near-in-time
+    measurements, and the median over rounds cancels the drift."""
     ensure_images()
-    res: dict = {}
-    # 4N first: it is the side most sensitive to residual host load.
-    for n in (4 * SCALE_N, SCALE_N):
-        time.sleep(20)  # let the previous session's teardown settle
-        cmd = [sys.executable, __file__, "--flagship-threads", str(n)]
-        if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{n-1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        stats = json.loads(line)
-        rps = stats["images"] / stats["seconds"]
-        res[f"local{n}"] = {
-            "seconds": stats["seconds"],
-            "rows": stats["images"],
-            "rows_per_sec": round(rps, 1),
-        }
-        print(
-            f"# local[{n}] pinned: {stats['images']} imgs in {stats['seconds']}s "
-            f"= {rps:,.0f} img/s",
-            file=sys.stderr,
-        )
-    t_n = res[f"local{SCALE_N}"]["rows_per_sec"]
-    t_4n = res[f"local{4*SCALE_N}"]["rows_per_sec"]
-    res["scaling_efficiency"] = round(t_4n / (4.0 * t_n), 3)
+    effs, best = [], {}
+    for r in range(rounds):
+        pair = {}
+        for n in (4 * SCALE_N, SCALE_N):
+            time.sleep(15)
+            stats = _flagship_subprocess(n)
+            rps = stats["images"] / stats["seconds"]
+            pair[n] = rps
+            cur = best.get(n)
+            if cur is None or rps > cur["rows_per_sec"]:
+                best[n] = {
+                    "seconds": stats["seconds"],
+                    "rows": stats["images"],
+                    "rows_per_sec": round(rps, 1),
+                }
+            print(
+                f"# round {r}: local[{n}] pinned {stats['images']} imgs "
+                f"in {stats['seconds']}s = {rps:,.0f} img/s",
+                file=sys.stderr,
+            )
+        eff = pair[4 * SCALE_N] / (4.0 * pair[SCALE_N])
+        effs.append(eff)
+        print(f"# round {r}: pair efficiency {eff:.3f}", file=sys.stderr)
+    effs.sort()
+    res = {f"local{n}": v for n, v in best.items()}
+    res["pair_efficiencies"] = [round(e, 3) for e in effs]
+    res["scaling_efficiency"] = round(effs[len(effs) // 2], 3)
     return res
 
 
@@ -180,6 +196,7 @@ def main() -> None:
         f"images_per_sec_local{SCALE_N}": scaling[f"local{SCALE_N}"]["rows_per_sec"],
         f"images_per_sec_local{4*SCALE_N}": scaling[f"local{4*SCALE_N}"]["rows_per_sec"],
         "scaling_pair": [SCALE_N, 4 * SCALE_N],
+        "scaling_pair_efficiencies": scaling["pair_efficiencies"],
         "scaling_efficiency_n_to_4n": scaling["scaling_efficiency"],
     }
     print(json.dumps(out))
