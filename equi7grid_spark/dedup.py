@@ -49,46 +49,70 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    """(doc_id, perm, minhash): MinHash via the md5-keyed minimum —
-    h_p(doc) = min over shingles of md5(p || '|' || shingle). The
-    lexicographic minimum of a uniform hex hash is a valid MinHash
-    permutation; md5 keys make it engine-independent."""
+def minhash_wide(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, m0..m{n-1}): MinHash signature in ONE aggregation pass.
+
+    Each shingle is md5'd ONCE; permutation p's hash is hex segment
+    [4p, 4p+4) of that digest (md5 bits are independent, so disjoint
+    segments are independent 16-bit uniform hashes). min over shingles
+    of segment p is then a valid MinHash. vs the naive per-(perm,
+    shingle) re-hash this cuts the md5 count and the pre-aggregation
+    row volume n_perms-fold — at 10^12 docs the shingle explosion is
+    the dominant cost, so the single-pass groupBy with n_perms min()
+    aggregates (map-side partial) is the scale shape."""
     sh = doc_shingles(docs)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm")
-    exploded = sh.select("doc_id", "shingle", perms)
-    h = F.md5(
-        F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")).cast("binary")
+    h = F.md5(F.col("shingle").cast("binary"))
+    proj = sh.select(
+        "doc_id",
+        *[
+            F.substring(h, 4 * p + 1, 4).alias(f"_h{p}")
+            for p in range(n_perms)
+        ],
     )
-    return (
-        exploded.select("doc_id", "perm", h.alias("h"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    return proj.groupBy("doc_id").agg(
+        *[F.min(f"_h{p}").alias(f"m{p}") for p in range(n_perms)]
     )
+
+
+def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, perm, minhash) — long view over minhash_wide."""
+    wide = minhash_wide(docs, n_perms)
+    pm = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(p).alias("perm"), F.col(f"m{p}").alias("minhash"))
+                for p in range(n_perms)
+            ]
+        )
+    ).alias("pm")
+    return wide.select("doc_id", pm).select("doc_id", "pm.perm", "pm.minhash")
 
 
 def lsh_buckets(docs: DataFrame, n_perms: int = N_PERMS, band_size: int = BAND_SIZE) -> DataFrame:
     """(band, band_sig, doc_id): LSH banding of the MinHash signature —
     docs sharing a (band, band_sig) bucket are near-duplicate candidates."""
-    sig = minhash_signatures(docs, n_perms)
-    band = (F.col("perm") / band_size).cast("int")
-    # order minhashes within a band by perm, concatenate, hash
-    per_band = (
-        sig.withColumn("band", band)
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                    lambda s: s.minhash,
-                ),
-                ",",
-            ).alias("band_key")
+    wide = minhash_wide(docs, n_perms)
+    n_bands = n_perms // band_size
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{b * band_size + k}")
+                                for k in range(band_size)
+                            ],
+                        ).cast("binary")
+                    ).alias("band_sig"),
+                )
+                for b in range(n_bands)
+            ]
         )
-    )
-    return per_band.select(
-        "band", F.md5(F.col("band_key").cast("binary")).alias("band_sig"), "doc_id"
-    )
+    ).alias("bb")
+    return wide.select("doc_id", bands).select("bb.band", "bb.band_sig", "doc_id")
 
 
 def minhash_candidate_groups(docs: DataFrame) -> DataFrame:

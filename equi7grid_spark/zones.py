@@ -92,6 +92,91 @@ def load_zone_polys_proj(variant: str = "std") -> dict[str, list[list[np.ndarray
     return out
 
 
+@lru_cache(maxsize=8)
+def _zone_edges(cc: str, variant: str) -> tuple[np.ndarray, ...]:
+    """All edges of a zone's polygon pieces, flattened to 4 arrays
+    (x1, y1, x2, y2) plus bbox helpers. Disjoint pieces share one
+    even-odd edge set: a point inside piece A crosses piece B's edges
+    an even number of times, so the combined parity equals the OR over
+    pieces — identical to points_in_polys."""
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for rings in load_zone_polys(variant)[cc]:
+        for ring in rings:
+            r = np.asarray(ring, dtype=np.float64)
+            if r.shape[0] < 3:
+                continue
+            if not (r[0] == r[-1]).all():
+                r = np.vstack([r, r[:1]])
+            x1s.append(r[:-1, 0])
+            y1s.append(r[:-1, 1])
+            x2s.append(r[1:, 0])
+            y2s.append(r[1:, 1])
+    x1 = np.concatenate(x1s)
+    y1 = np.concatenate(y1s)
+    x2 = np.concatenate(x2s)
+    y2 = np.concatenate(y2s)
+    return (
+        x1,
+        y1,
+        x2,
+        y2,
+        np.minimum(y1, y2),
+        np.maximum(y1, y2),
+        np.maximum(x1, x2),
+    )
+
+
+_CELL_EDGE_CACHE: dict[tuple[str, str, int, int], tuple[np.ndarray, ...]] = {}
+
+
+def _cell_edges(cc: str, variant: str, ix: int, iy: int) -> tuple[np.ndarray, ...]:
+    """Edges of zone `cc` that can cross a +x ray cast from inside the
+    1-degree cell (ix, iy). Exact-equivalent pruning of the even-odd
+    test: an edge whose lat range misses the cell's band can never
+    satisfy ``(y1 > Y) != (y2 > Y)``, and one entirely west of the cell
+    has x_int < X always. Cuts the per-point edge count ~10x (6k -> a
+    few hundred) for boundary-cell points."""
+    key = (cc, variant, ix, iy)
+    hit = _CELL_EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    x1, y1, x2, y2, lat_lo, lat_hi, lon_hi = _zone_edges(cc, variant)
+    lon0 = ix - 180.0
+    lat0, lat1 = iy - 90.0, iy - 89.0
+    m = (lat_hi > lat0) & (lat_lo <= lat1) & (lon_hi >= lon0)
+    out = (x1[m], y1[m], x2[m], y2[m])
+    _CELL_EDGE_CACHE[key] = out
+    return out
+
+
+def _points_in_zone_cellwise(
+    cc: str, variant: str, lon: np.ndarray, lat: np.ndarray,
+    ix: np.ndarray, iy: np.ndarray
+) -> np.ndarray:
+    """Exact even-odd PIP using per-cell pruned edge lists. Arithmetic
+    is identical to geom.points_in_rings (same crossing formula)."""
+    inside = np.zeros(lon.shape, dtype=bool)
+    cells = np.unique(ix * np.int64(PF_NY_KEY) + iy)
+    for cell in cells:
+        cix, ciy = int(cell // PF_NY_KEY), int(cell % PF_NY_KEY)
+        m = (ix == cix) & (iy == ciy)
+        x1, y1, x2, y2 = _cell_edges(cc, variant, cix, ciy)
+        if x1.size == 0:
+            continue
+        X = lon[m][:, None]
+        Y = lat[m][:, None]
+        cond = (y1 > Y) != (y2 > Y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = x1 + (Y - y1) * (x2 - x1) / np.where(y2 == y1, 1.0, (y2 - y1))
+        crossing = cond & (X < x_int)
+        inside[m] = (crossing.sum(axis=1) % 2).astype(bool)
+    return inside
+
+
+# key stride for packing (ix, iy); larger than PF_NY to keep keys unique
+PF_NY_KEY = 256
+
+
 def zone_membership(
     lon: np.ndarray,
     lat: np.ndarray,
@@ -116,7 +201,6 @@ def zone_membership(
     iy = np.clip(np.floor(lat + 90.0).astype(np.int64), 0, PF_NY - 1)
 
     pf = load_prefilter(variant)
-    polys = load_zone_polys(variant)
 
     n = lon.size
     member = np.zeros((n, len(system_order)), dtype=bool)
@@ -125,14 +209,42 @@ def zone_membership(
         col = state == PF_IN
         bmask = state == PF_BOUNDARY
         if bmask.any():
-            bl = lon[bmask]
-            bb = lat[bmask]
-            exact = np.zeros(bl.shape, dtype=bool)
-            for rings in polys[cc]:
-                exact |= points_in_rings(bl, bb, rings)
-            col[bmask] = exact
+            col[bmask] = _points_in_zone_cellwise(
+                cc, variant, lon[bmask], lat[bmask], ix[bmask], iy[bmask]
+            )
         member[:, j] = col
     return member
+
+
+@lru_cache(maxsize=4)
+def decided_cell_codes(
+    system_order: tuple[str, ...] = DEFAULT_SYSTEM_ORDER,
+) -> np.ndarray:
+    """Per 1-degree cell: the primary zone code when the prefilter alone
+    decides it, else a sentinel. int8 grid [PF_NX, PF_NY]:
+
+    - 0..6  : every point in the cell has this primary zone (the first
+      zone in system_order that is non-OUT here is IN — all earlier
+      zones are OUT for the whole cell, so the exact PIP is redundant);
+    - -1    : all zones OUT → out of every zone;
+    - -2    : the first non-OUT zone is BOUNDARY → needs exact PIP.
+
+    This is the JVM fast path's broadcast lookup (operators/assign_jvm):
+    95.8% of cells (99.5% of the land-biased bench rows) decide here.
+    Non-buffered zones only — buffered zones overlap, so a single
+    primary code is not the right shape there.
+    """
+    pf = load_prefilter("std")
+    decided = np.full((PF_NX, PF_NY), -1, dtype=np.int8)
+    resolved = np.zeros((PF_NX, PF_NY), dtype=bool)
+    for j, cc in enumerate(system_order):
+        st = pf[cc]
+        newly_in = (~resolved) & (st == PF_IN)
+        newly_bd = (~resolved) & (st == PF_BOUNDARY)
+        decided[newly_in] = j
+        decided[newly_bd] = -2
+        resolved |= newly_in | newly_bd
+    return decided
 
 
 def assign_primary_zone_code(

@@ -1,0 +1,138 @@
+"""JVM fast-path parity: Column Vincenty + cell-map assignment must
+reproduce the round-1 pandas/NumPy path exactly (same per-tile counts)
+and the NumPy AEQD forward to sub-micrometer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from equi7grid_spark.constants import DEFAULT_SYSTEM_ORDER
+from equi7grid_spark.functions.geodesy_cols import with_aeqd_forward
+from equi7grid_spark.geodesy import aeqd_forward
+from equi7grid_spark.operators.assign import assign_tiles, tile_counts
+from equi7grid_spark.operators.assign_jvm import (
+    assign_tiles_jvm,
+    cell_code_pdf,
+    tile_counts_jvm,
+)
+from equi7grid_spark.zones import assign_primary_zone_code
+
+
+def _inzone_grid(step=1.5):
+    """Dense global grid with per-point primary zone, in-zone only."""
+    lon = np.arange(-179.75, 180.0, step)
+    lat = np.arange(-89.75, 90.0, step)
+    LO, LA = np.meshgrid(lon, lat)
+    lo, la = LO.ravel(), LA.ravel()
+    zc = assign_primary_zone_code(lo, la)
+    m = zc >= 0
+    return lo[m], la[m], zc[m]
+
+
+def test_column_vincenty_matches_numpy(spark):
+    lo, la, zc = _inzone_grid(step=1.5)
+    pdf = pd.DataFrame({"lon": lo, "lat": la, "zc": zc.astype("int8")})
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        with_aeqd_forward(sdf, "zc", "lon", "lat", "x", "y")
+        .orderBy("lon", "lat")
+        .toPandas()
+    )
+    ref = pdf.sort_values(["lon", "lat"]).reset_index(drop=True)
+    xs = np.empty(len(ref))
+    ys = np.empty(len(ref))
+    for code in np.unique(ref["zc"]):
+        m = (ref["zc"] == code).to_numpy()
+        cc = DEFAULT_SYSTEM_ORDER[code]
+        xs[m], ys[m] = aeqd_forward(cc, ref["lon"].to_numpy()[m], ref["lat"].to_numpy()[m])
+    dx = np.abs(out["x"].to_numpy() - xs)
+    dy = np.abs(out["y"].to_numpy() - ys)
+    assert dx.max() < 1e-6 and dy.max() < 1e-6, (dx.max(), dy.max())
+
+
+def test_cell_map_decided_agrees_with_exact(spark):
+    """Every decided cell's code must equal the exact kernel's answer
+    for points sampled inside the cell (4 interior samples/cell)."""
+    codes = cell_code_pdf()
+    dec = codes[codes["zc"] >= 0]
+    ix = (dec["cell_id"] // 180).to_numpy()
+    iy = (dec["cell_id"] % 180).to_numpy()
+    for fx, fy in [(0.25, 0.25), (0.75, 0.25), (0.25, 0.75), (0.75, 0.75)]:
+        lo = ix - 180.0 + fx
+        la = iy - 90.0 + fy
+        exact = assign_primary_zone_code(lo, la)
+        assert (exact == dec["zc"].to_numpy()).all()
+
+
+def _points(spark, sf_dir):
+    from equi7grid_spark.queries import _derived_lonlat
+
+    return _derived_lonlat(spark, sf_dir)
+
+
+@pytest.mark.parametrize("tiling_id", ["T6", "T3"])
+def test_tile_counts_jvm_equals_pandas_path(spark, sf_dir, tiling_id):
+    df = _points(spark, sf_dir).select("lon", "lat")
+    a = tile_counts(df, tiling_id=tiling_id).orderBy("tilename").toPandas()
+    b = tile_counts_jvm(df, tiling_id=tiling_id).orderBy("tilename").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_tile_counts_jvm_boundary_heavy(spark):
+    """Grid that oversamples prefilter-boundary cells (the pandas
+    fallback branch) — counts must still match the exact path."""
+    codes = cell_code_pdf()
+    und = codes[codes["zc"] == -2].head(400)
+    ix = (und["cell_id"] // 180).to_numpy()
+    iy = (und["cell_id"] % 180).to_numpy()
+    pts = []
+    for fx in (0.1, 0.5, 0.9):
+        for fy in (0.1, 0.5, 0.9):
+            pts.append(np.stack([ix - 180.0 + fx, iy - 90.0 + fy], axis=1))
+    arr = np.concatenate(pts)
+    pdf = pd.DataFrame({"lon": arr[:, 0], "lat": arr[:, 1]})
+    sdf = spark.createDataFrame(pdf)
+    a = tile_counts(sdf).orderBy("tilename").toPandas()
+    b = tile_counts_jvm(sdf).orderBy("tilename").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_assign_tiles_jvm_equals_pandas_path(spark, sf_dir):
+    df = _points(spark, sf_dir).withColumnRenamed("pt_id", "event_id")
+    cols = ["event_id", "subgrid", "tilename", "x", "y"]
+    a = (
+        assign_tiles(df, sampling=500.0)
+        .select(*cols, "row", "col")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    b = (
+        assign_tiles_jvm(df, sampling=500.0)
+        .select(*cols, "row", "col")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        a[["event_id", "subgrid", "tilename", "row", "col"]],
+        b[["event_id", "subgrid", "tilename", "row", "col"]],
+    )
+    np.testing.assert_allclose(a["x"], b["x"], atol=1e-6)
+    np.testing.assert_allclose(a["y"], b["y"], atol=1e-6)
+
+
+def test_assign_tiles_jvm_keeps_all_rows_when_not_dropping(spark):
+    """The std zones partition the globe (decided_cell_codes has no -1
+    cells), so drop_out_of_zone=False must simply preserve row count and
+    agree with the pandas path on every subgrid."""
+    pdf = pd.DataFrame(
+        {"lon": [5.0, -140.0, 170.0, -30.0], "lat": [47.0, 0.0, -85.0, 65.0]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    a = assign_tiles(sdf, drop_out_of_zone=False).orderBy("lon").collect()
+    b = assign_tiles_jvm(sdf, drop_out_of_zone=False).orderBy("lon").collect()
+    assert len(b) == 4
+    assert [r.subgrid for r in a] == [r.subgrid for r in b]
+    assert [r.tilename for r in a] == [r.tilename for r in b]
