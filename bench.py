@@ -35,11 +35,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Scaling pair: N and 4N cores (driver instruction allows any N).
-# 4 vs 16 keeps the 4N side under the host's sustained-load CPU-steal
-# threshold (10-25% steal observed at 32 busy cores on this VM) and
-# 48M rows amortize the ~1.2s fixed job cost to <3% of the short run.
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-IMAGES_N = int(os.environ.get("BENCH_IMAGES_N", "48000000"))
+# 3 vs 12 keeps the 4N side well under the host's sustained-load
+# CPU-steal threshold (10-25% steal at high busy-core counts on this
+# VM), and 192M rows amortize the fixed job cost (~2-3s of scheduling,
+# scan ramp-up and final collect) to <15% of the 4N-side run.
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "3"))
+IMAGES_N = int(os.environ.get("BENCH_IMAGES_N", "192000000"))
 IMAGES_PATH = f"/tmp/equi7_bench_images_{IMAGES_N}.parquet"
 
 HEADLINE = [
@@ -90,20 +91,18 @@ def flagship_run(n_threads: int) -> None:
     from pyspark.sql import functions as F
 
     from equi7grid_spark.jobs.assign_and_join import run
-    from equi7grid_spark.operators.assign import assign_tiles
+    from equi7grid_spark.operators.assign_jvm import tile_counts_jvm
 
     df = spark.read.parquet(IMAGES_PATH)
-    warm = assign_tiles(df.limit(100_000).repartition(2 * n_threads))
+    # warm the JVM path: broadcast map conversion, codegen, kernel JIT
+    warm = tile_counts_jvm(df.limit(100_000).repartition(2 * n_threads))
     warm.agg(F.count(F.lit(1))).collect()
 
-    # min-of-2 within the subprocess absorbs per-trial scheduler noise;
-    # cross-run drift is handled by pairing rounds in measure_scaling.
-    best = None
-    for _ in range(2):
-        stats = run(spark, IMAGES_PATH, "T6", None)
-        if best is None or stats["seconds"] < best["seconds"]:
-            best = stats
-    print(json.dumps(best))
+    # one timed run per subprocess (the untimed warmup above absorbs
+    # codegen/JIT/page-cache ramp); steal drift is handled by pairing
+    # near-in-time (N, 4N) rounds and taking the median over rounds.
+    stats = run(spark, IMAGES_PATH, "T6", None)
+    print(json.dumps(stats))
     spark.stop()
 
 

@@ -18,8 +18,10 @@ import numpy as np
 
 from equi7grid_spark.constants import (
     GridConfig,
+    RegularTilingDefinition,
     SYSTEMS,
     make_grid_config,
+    make_user_grid_config,
 )
 from equi7grid_spark.geodesy import (
     aeqd_forward,
@@ -42,7 +44,9 @@ __all__ = [
     "GeomOutOfZoneError",
     "Tile",
     "TileOutOfZoneError",
+    "RegularTilingDefinition",
     "get_standard_equi7grid",
+    "get_user_equi7grid",
 ]
 
 
@@ -201,10 +205,18 @@ class Equi7Grid:
         return [self.get_tile_from_name(n) for n in names]
 
     # -- (de)serialization (reference core.py:605-648, docs/guides/grid.ipynb)
-    def to_grid_def(self) -> dict:
+    def to_grid_def(self, path=None) -> dict:
+        """Grid definition as a dict; with `path`, also written as JSON
+        (reference to_grid_def(json_path), docs/guides/grid.ipynb)."""
         from equi7grid_spark.grids import grid_to_def
 
-        return grid_to_def(self.config)
+        d = grid_to_def(self.config)
+        if path is not None:
+            import json
+            from pathlib import Path as _P
+
+            _P(path).write_text(json.dumps(d, indent=2))
+        return d
 
     def to_file(self, path) -> None:
         from equi7grid_spark.grids import grid_to_file
@@ -230,4 +242,24 @@ def get_standard_equi7grid(
     """reference core.py:572-602."""
     return Equi7Grid(
         make_grid_config(sampling, buffered=buffered, continent_order=continent_order)
+    )
+
+
+def get_user_equi7grid(
+    sampling,
+    tiling_defs: dict[int, RegularTilingDefinition],
+    *,
+    buffered: bool = False,
+    continent_order: list[str] | None = None,
+) -> Equi7Grid:
+    """User-defined tiling levels over the seven Equi7 systems
+    (reference get_user_equi7grid, core.py:538-569; e.g. a T2 = 200 km
+    grid, docs/guides/grid.ipynb). Tile catalogs for the new levels are
+    computed on the fly (catalog.computed_cells); all tile algebra —
+    naming, parsing, ROI search, Spark assignment — resolves the new
+    ids through the tiling registry."""
+    return Equi7Grid(
+        make_user_grid_config(
+            sampling, tiling_defs, buffered=buffered, continent_order=continent_order
+        )
     )

@@ -62,7 +62,48 @@ STANDARD_TILINGS: dict[int, tuple[str, int]] = {
 }
 
 TILING_ID_TO_LEVEL: dict[str, int] = {tid: lvl for lvl, (tid, _) in STANDARD_TILINGS.items()}
+# Registry of tiling id -> tile size in meters. Seeded with the
+# standard levels; user tilings (reference get_user_equi7grid,
+# core.py:538-569) register here so tilename parse/format, Tile
+# construction and the Spark operators resolve them uniformly.
 TILING_ID_TO_SIZE: dict[str, int] = {tid: size for _, (tid, size) in STANDARD_TILINGS.items()}
+
+
+@dataclass(frozen=True)
+class RegularTilingDefinition:
+    """A named square tiling level (mirrors pytileproj's
+    RegularTilingDefinition as used by the reference's
+    get_user_equi7grid, docs/guides/grid.ipynb: e.g.
+    RegularTilingDefinition(name="T2", tile_shape=200_000))."""
+
+    name: str
+    tile_shape: int
+
+    def __post_init__(self) -> None:
+        import re
+
+        if not re.fullmatch(r"T\d", self.name):
+            raise ValueError(
+                f"tiling name {self.name!r} must be 'T' + one digit "
+                "(the tilename layout reserves one character)"
+            )
+        if self.tile_shape <= 0 or self.tile_shape % 100_000 != 0:
+            raise ValueError(
+                f"tile_shape {self.tile_shape} must be a positive multiple "
+                "of 100 km (tilenames encode the corner in 100 km units)"
+            )
+
+
+def register_tiling(name: str, tile_shape: int) -> None:
+    """Register a tiling id globally (idempotent; conflicting re-use of
+    a standard id is rejected)."""
+    d = RegularTilingDefinition(name, int(tile_shape))
+    existing = TILING_ID_TO_SIZE.get(d.name)
+    if existing is not None and existing != d.tile_shape:
+        raise ValueError(
+            f"tiling id {d.name!r} already registered with size {existing}"
+        )
+    TILING_ID_TO_SIZE[d.name] = d.tile_shape
 
 # Densification segment length for reprojecting polygon boundaries,
 # degrees (reference pytileproj DEF_SEG_LEN_DEG, imported core.py:25).
@@ -114,6 +155,40 @@ def make_grid_config(
     unknown = [c for c in order if c not in SYSTEMS]
     if unknown:
         raise ValueError(f"unknown continents: {unknown}")
+    return GridConfig(sampling=smap, buffered=buffered, system_order=order, tilings=tilings)
+
+
+def make_user_grid_config(
+    sampling: float | int | dict[str, float],
+    tiling_defs: dict[int, RegularTilingDefinition],
+    *,
+    buffered: bool = False,
+    continent_order: list[str] | None = None,
+) -> GridConfig:
+    """Build a GridConfig from user tiling definitions the way the
+    reference's `get_user_equi7grid` does (core.py:538-569;
+    docs/guides/grid.ipynb builds a T2 = 200 km grid). `tiling_defs`
+    maps level -> RegularTilingDefinition; `sampling` is a single pixel
+    size for every level or a per-tiling-id map."""
+    tilings: dict[str, int] = {}
+    for _, d in sorted(tiling_defs.items()):
+        register_tiling(d.name, d.tile_shape)
+        tilings[d.name] = int(d.tile_shape)
+    if isinstance(sampling, dict):
+        smap = {tid: float(s) for tid, s in sampling.items()}
+        unknown = [tid for tid in smap if tid not in tilings]
+        if unknown:
+            raise ValueError(f"sampling for undefined tilings: {unknown}")
+        tilings = {tid: tilings[tid] for tid in smap}
+    else:
+        smap = {tid: float(sampling) for tid in tilings}
+    for tid, s in smap.items():
+        if (tilings[tid] / s) % 1 != 0:
+            raise ValueError(f"sampling {s} does not divide tile size {tilings[tid]}")
+    order = tuple(continent_order) if continent_order else DEFAULT_SYSTEM_ORDER
+    unknown_cc = [c for c in order if c not in SYSTEMS]
+    if unknown_cc:
+        raise ValueError(f"unknown continents: {unknown_cc}")
     return GridConfig(sampling=smap, buffered=buffered, system_order=order, tilings=tilings)
 
 

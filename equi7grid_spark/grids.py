@@ -57,6 +57,12 @@ def grid_from_def(d: dict) -> GridConfig:
         ref = SYSTEMS.get(cc)
         if ref is None or ref.epsg != sd["epsg"] or ref.x_0 != sd["x_0"]:
             raise ValueError(f"system {cc} does not match engine constants")
+    # user tiling levels (reference get_user_equi7grid) travel in the
+    # definition; register them so a fresh process can resolve the ids
+    from equi7grid_spark.constants import register_tiling
+
+    for tid, size in d.get("tilings", {}).items():
+        register_tiling(tid, int(size))
     cfg = make_grid_config(
         {tid: float(s) for tid, s in d["sampling"].items()},
         buffered=bool(d.get("buffered", False)),

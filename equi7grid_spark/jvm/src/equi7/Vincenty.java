@@ -1,0 +1,72 @@
+package equi7;
+
+/**
+ * WGS84 Vincenty inverse geodesic + Equi7 AEQD forward projection.
+ *
+ * Exact transliteration of the engine's NumPy kernel
+ * (equi7grid_spark/geodesy.py geodesic_inverse/aeqd_forward): same
+ * formulae, same tol=1e-13 lambda fixed-point, same coincident-point
+ * guard -- so the compiled kernel and the pandas path agree to float64
+ * round-off (pinned < 1e-8 m by tests/test_assign_jvm.py).
+ *
+ * Zone constants reproduce the published Equi7Grid definitions
+ * (reference _create_grids.py:44-91), order AF AN AS EU OC NA SA.
+ */
+final class Vincenty {
+    static final double A = 6378137.0;
+    static final double FLAT = 1.0 / 298.257223563;
+    static final double B = A * (1.0 - FLAT);
+    static final double[] LAT0 = {8.5, -90.0, 47.0, 53.0, -19.5, 52.0, -14.0};
+    static final double[] LON0 = {21.5, 0.0, 94.0, 24.0, 131.5, -97.5, -60.5};
+    static final double[] X0 = {5621452.01998, 3714266.97719, 4340913.84808,
+            5837287.81977, 6988408.5356, 8264722.17686, 7257179.23559};
+    static final double[] Y0 = {5990638.42298, 3402016.50625, 4812712.92347,
+            2121415.69617, 7654884.53733, 4867518.35323, 5592024.44605};
+
+    private Vincenty() {}
+
+    /** AEQD forward for zone code zc; writes {x, y} into out. */
+    static void forward(int zc, double lon, double lat, double[] out) {
+        double phi1 = Math.toRadians(LAT0[zc]);
+        double phi2 = Math.toRadians(lat);
+        double L = Math.toRadians(
+                (((lon - LON0[zc]) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0);
+        double U1 = Math.atan((1.0 - FLAT) * Math.tan(phi1));
+        double U2 = Math.atan((1.0 - FLAT) * Math.tan(phi2));
+        double sinU1 = Math.sin(U1), cosU1 = Math.cos(U1);
+        double sinU2 = Math.sin(U2), cosU2 = Math.cos(U2);
+        double lam = L;
+        double ss = 0.0, cs = 1.0, sig = 0.0, sa = 0.0, csa = 1.0, c2sm = 0.0;
+        for (int i = 0; i < 100; i++) {
+            double sl = Math.sin(lam), cl = Math.cos(lam);
+            double t1 = cosU2 * sl;
+            double t2 = cosU1 * sinU2 - sinU1 * cosU2 * cl;
+            ss = Math.hypot(t1, t2);
+            cs = sinU1 * sinU2 + cosU1 * cosU2 * cl;
+            sig = Math.atan2(ss, cs);
+            sa = ss != 0.0 ? cosU1 * cosU2 * sl / ss : 0.0;
+            csa = 1.0 - sa * sa;
+            c2sm = csa != 0.0 ? cs - 2.0 * sinU1 * sinU2 / csa : 0.0;
+            double c = FLAT / 16.0 * csa * (4.0 + FLAT * (4.0 - 3.0 * csa));
+            double lamNew = L + (1.0 - c) * FLAT * sa
+                    * (sig + c * ss * (c2sm + c * cs * (-1.0 + 2.0 * c2sm * c2sm)));
+            double delta = Math.abs(lamNew - lam);
+            lam = lamNew;
+            if (delta <= 1e-13) break;
+        }
+        double u2 = csa * (A * A - B * B) / (B * B);
+        double ab = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)));
+        double bb = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)));
+        double dsig = bb * ss * (c2sm + bb / 4.0 * (cs * (-1.0 + 2.0 * c2sm * c2sm)
+                - bb / 6.0 * c2sm * (-3.0 + 4.0 * ss * ss) * (-3.0 + 4.0 * c2sm * c2sm)));
+        double s = B * ab * (sig - dsig);
+        double az1 = Math.atan2(cosU2 * Math.sin(lam),
+                cosU1 * sinU2 - sinU1 * cosU2 * Math.cos(lam));
+        if (Math.abs(phi1 - phi2) < 1e-15 && Math.abs(L) < 1e-15) {
+            s = 0.0;
+            az1 = 0.0;
+        }
+        out[0] = X0[zc] + s * Math.sin(az1);
+        out[1] = Y0[zc] + s * Math.cos(az1);
+    }
+}

@@ -86,5 +86,74 @@ _LAND_POLYGONS: list[list[tuple[float, float]]] = [
 
 
 def load_land_polys() -> list[list[np.ndarray]]:
-    """Land mask as polygon pieces (each one exterior ring, no holes)."""
+    """Land mask as polygon pieces (each: exterior ring + optional holes).
+
+    Source resolution (pluggable, ADVICE round-1): if the environment
+    variable ``EQUI7_LAND_GEOJSON`` points to a GeoJSON file of
+    Polygon/MultiPolygon features (e.g. a Natural Earth land download),
+    that data is used; otherwise the in-repo synthetic outline. Every
+    ``covers_land`` / ``cover_land=True`` result is defined by whichever
+    mask is active — with the synthetic default they are engine-defined
+    and differ from the reference's (its land.parquet blob is absent
+    upstream). Rebuild the tile catalog (scripts/prepare_data.py) after
+    switching masks.
+    """
+    import json
+    import os
+
+    path = os.environ.get("EQUI7_LAND_GEOJSON")
+    if path:
+        gj = json.loads(open(path).read())
+        feats = gj["features"] if gj.get("type") == "FeatureCollection" else [gj]
+        polys: list[list[np.ndarray]] = []
+        for f in feats:
+            geom = f.get("geometry", f)
+            if geom["type"] == "Polygon":
+                coords = [geom["coordinates"]]
+            elif geom["type"] == "MultiPolygon":
+                coords = geom["coordinates"]
+            else:
+                continue
+            for poly in coords:
+                polys.append([np.asarray(ring, dtype=np.float64)[:, :2] for ring in poly])
+        if not polys:
+            raise ValueError(f"no Polygon/MultiPolygon features in {path}")
+        return polys
     return [[np.array(p, dtype=np.float64)] for p in _LAND_POLYGONS]
+
+
+def covers_land_sampled(
+    cc: str,
+    ix: np.ndarray,
+    iy: np.ndarray,
+    ts: float,
+    k: int,
+    variant: str = "std",
+) -> np.ndarray:
+    """Per tile (ix, iy at tile size ts): does any of a k x k sample of
+    tile points lie inside both the land mask and zone `cc` in
+    geographic space? (reference core.py:403-411 semantics: land is
+    intersected with the *zone* before projection). Shared by the
+    prepare-time catalog build and the runtime catalog fallback for
+    user tilings."""
+    from equi7grid_spark.geodesy import aeqd_inverse
+    from equi7grid_spark.geom import points_in_polys
+    from equi7grid_spark.zones import zone_membership
+
+    n = ix.size
+    if n == 0:
+        return np.zeros(0, bool)
+    offs = (np.arange(k) + 0.5) / k * ts
+    OX, OY = np.meshgrid(offs, offs)
+    px = (ix[:, None] * ts + OX.ravel()[None, :]).ravel()
+    py = (iy[:, None] * ts + OY.ravel()[None, :]).ravel()
+    lon, lat = aeqd_inverse(cc, px, py)
+    in_land = points_in_polys(lon, lat, load_land_polys())
+    hit = np.zeros(lon.shape, bool)
+    if in_land.any():
+        in_zone = zone_membership(
+            lon[in_land], lat[in_land],
+            buffered=(variant == "bfrd"), system_order=(cc,),
+        )[:, 0]
+        hit[in_land] = in_zone
+    return hit.reshape(n, k * k).any(axis=1)

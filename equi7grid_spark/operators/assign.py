@@ -220,7 +220,11 @@ def assign_tiles(
     order = tuple(system_order)
     if buffered:
         zs = zones_all_udf(buffered=True, system_order=order)
-        df = df.withColumn("_zc", F.explode(zs(F.col(lon_col), F.col(lat_col))))
+        # explode_outer when out-of-zone rows must survive: a plain
+        # explode of the empty membership array would drop them
+        # regardless of drop_out_of_zone (ADVICE round-1)
+        exploder = F.explode if drop_out_of_zone else F.explode_outer
+        df = df.withColumn("_zc", exploder(zs(F.col(lon_col), F.col(lat_col))))
         df = df.withColumn("subgrid", subgrid_from_code(F.col("_zc"), order))
         df = df.withColumn(
             "_xy", project_xy_udf(F.col("subgrid"), F.col(lon_col), F.col(lat_col))

@@ -51,13 +51,23 @@ _CANDS_SCHEMA = (
 )
 
 
+_CANDS_DFS: dict[tuple, DataFrame] = {}
+
+
 def boundary_cands_df(
     spark: SparkSession, system_order: tuple[str, ...] = DEFAULT_SYSTEM_ORDER
 ) -> DataFrame:
     """2,701-row broadcast map: boundary cell -> ordered zone candidates
-    with per-cell pruned edge lists + reference parity (zones_pip)."""
+    with per-cell pruned edge lists + reference parity (zones_pip).
+    Cached per (session, order): the driver-side Python->JVM conversion
+    of ~50k nested edge tuples costs seconds and must not recur per
+    query."""
     from equi7grid_spark.zones_pip import boundary_cands
 
+    key = (id(spark), tuple(system_order))
+    hit = _CANDS_DFS.get(key)
+    if hit is not None:
+        return hit
     rows = [
         (
             c["cell_id"],
@@ -74,7 +84,9 @@ def boundary_cands_df(
         )
         for c in boundary_cands(tuple(system_order))
     ]
-    return spark.createDataFrame(rows, _CANDS_SCHEMA)
+    df = spark.createDataFrame(rows, _CANDS_SCHEMA)
+    _CANDS_DFS[key] = df
+    return df
 
 
 def pip_resolve_col(cands: Column, lon: Column, lat: Column) -> Column:
@@ -146,11 +158,16 @@ def with_zone_code_jvm(
         .when(F.col("zc") == -2, pip_resolve_col(F.col("__cands"), lon, lat))
         .otherwise(F.lit(None).cast("tinyint"))
     )
-    if zc_col == "zc":
-        return d.withColumn("zc", zc_final).drop("__cell", "__cands")
-    return (
-        d.withColumn(zc_col, zc_final).drop("__cell", "__cands", "zc")
-    )
+    # Explode-of-one-element barrier: both CollapseProject and
+    # PushDownPredicate freely substitute a Project alias into
+    # downstream filters/projections, which would re-evaluate this
+    # expression (its higher-order functions are CodegenFallback —
+    # interpreted) once per consumer, measured 5x slower end-to-end.
+    # Neither rule rewrites through a Generate, so the zone code
+    # materializes exactly once per row.
+    barrier = F.explode(F.array(zc_final))
+    keep = [c for c in d.columns if c not in ("__cell", "__cands", "zc")]
+    return d.select(*keep, barrier.alias(zc_col))
 
 
 def cell_code_pdf(system_order: tuple[str, ...] = DEFAULT_SYSTEM_ORDER) -> pd.DataFrame:
@@ -170,10 +187,16 @@ def cell_code_pdf(system_order: tuple[str, ...] = DEFAULT_SYSTEM_ORDER) -> pd.Da
     return _CELL_MAPS[key]
 
 
+_CELL_DFS: dict[tuple, DataFrame] = {}
+
+
 def cell_map_df(
     spark: SparkSession, system_order: tuple[str, ...] = DEFAULT_SYSTEM_ORDER
 ) -> DataFrame:
-    return spark.createDataFrame(cell_code_pdf(tuple(system_order)))
+    key = (id(spark), tuple(system_order))
+    if key not in _CELL_DFS:
+        _CELL_DFS[key] = spark.createDataFrame(cell_code_pdf(tuple(system_order)))
+    return _CELL_DFS[key]
 
 
 def cell_id_col(lon: Column, lat: Column) -> Column:
@@ -199,26 +222,95 @@ def tile_counts_jvm(
     system_order=DEFAULT_SYSTEM_ORDER,
 ) -> DataFrame:
     """Per-tile counts with the same output schema/values as
-    operators/assign.tile_counts, 100% JVM-side: one scan, two
-    broadcast joins (cell map + boundary cands), Column Vincenty,
-    one shuffle (the partial-aggregated groupBy on compact int keys)."""
+    operators/assign.tile_counts, 100% JVM-side.
+
+    Two-branch shape over one broadcast-joined source (each branch
+    filters on a PLAIN join attribute, so no expensive expression is
+    duplicated by predicate pushdown):
+
+    1. decided-cell rows (99.5% of land-biased data) derive their
+       packed tile key with the compiled Vincenty kernel
+       (operators/kernel, one JIT-hot method/row) — or the unrolled
+       Column Vincenty when the jar is unavailable;
+    2. prefilter-boundary cells resolve their zone with the exact
+       Column parity test (zones_pip), then the same projection.
+
+    Both branches reduce to compact int keys with map-side partial
+    aggregation before the single union+shuffle; zone/tilename strings
+    materialize post-agg on ~10^3 rows. The two pruned scans cost
+    2 x (lon, lat) — a sliver of a bytes-dominated image table at
+    100 TB. Key parity with the exact pandas path is pinned by
+    tests/test_assign_jvm.py."""
     ts = float(TILING_ID_TO_SIZE[tiling_id])
     order = tuple(system_order)
+    spark = df.sparkSession
+    lon, lat = F.col(lon_col), F.col(lat_col)
 
-    base = df.select(F.col(lon_col), F.col(lat_col))
-    z = with_zone_code_jvm(
-        base, lon_col, lat_col, "zc", system_order=order
-    ).filter(F.col("zc") >= 0)
-    # carry only the 1-byte zone code — every Project in the Vincenty
-    # chain copies the row, so pass-through columns are pure memcpy
-    keyed = with_aeqd_forward(
-        z, "zc", lon_col, lat_col, "_jx", "_jy", system_order=order, carry=["zc"]
-    ).select(
-        "zc",
-        F.floor(F.col("_jx") / ts).cast("long").alias("tx"),
-        F.floor(F.col("_jy") / ts).cast("long").alias("ty"),
-    )
-    agg = keyed.groupBy("zc", "tx", "ty").agg(F.count(F.lit(1)).alias("n"))
+    from equi7grid_spark.operators import kernel
+
+    if kernel.kernel_available(spark) and order == DEFAULT_SYSTEM_ORDER:
+        # one-call kernel: zone resolve + Vincenty + floor keying in a
+        # single compiled function (zone data baked into the jar) —
+        # one scan, zero joins, one shuffle on a single long key
+        # explode-of-one barrier: the isNotNull filter would otherwise be
+        # pushed down as a second evaluation of the (deterministic) UDF
+        keyed = df.select(
+            F.explode(F.array(kernel.zone_tile_key_col(lon, lat, ts))).alias("ztkey")
+        ).filter(F.col("ztkey").isNotNull())
+        agg = (
+            keyed.groupBy("ztkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                kernel.unpack_zc(F.col("ztkey")).alias("zc"),
+                kernel.unpack_tx(F.col("ztkey")).alias("tx"),
+                kernel.unpack_ty(F.col("ztkey")).alias("ty"),
+                "n",
+            )
+        )
+    else:
+        # pure Column fallback: broadcast cell-map join + unrolled
+        # Column Vincenty (fast branch) and exact parity resolve
+        # (boundary branch), partial-aggregated before one union+shuffle
+        base = df.select(lon, lat).withColumn("__cell", cell_id_col(lon, lat))
+        joined = base.join(
+            F.broadcast(
+                cell_map_df(spark, order).withColumnRenamed("cell_id", "__cell")
+            ),
+            "__cell",
+        )
+
+        def keys(frame: DataFrame) -> DataFrame:
+            proj = with_aeqd_forward(
+                frame, "zc", lon_col, lat_col, "_jx", "_jy",
+                system_order=order, carry=["zc"],
+            )
+            return proj.select(
+                "zc",
+                F.floor(F.col("_jx") / ts).cast("long").alias("tx"),
+                F.floor(F.col("_jy") / ts).cast("long").alias("ty"),
+            )
+
+        fast = joined.filter(F.col("zc") >= 0).drop("__cell")
+        cands = (
+            boundary_cands_df(spark, order)
+            .withColumnRenamed("cell_id", "__cell")
+            .withColumnRenamed("cands", "__cands")
+        )
+        bnd = (
+            joined.filter(F.col("zc") == -2)
+            .select(lon, lat, "__cell")
+            .join(F.broadcast(cands), "__cell")
+            .select(
+                lon,
+                lat,
+                F.explode(
+                    F.array(pip_resolve_col(F.col("__cands"), lon, lat))
+                ).alias("zc"),
+            )
+            .filter(F.col("zc").isNotNull())
+        )
+        keyed = keys(fast).unionAll(keys(bnd))
+        agg = keyed.groupBy("zc", "tx", "ty").agg(F.count(F.lit(1)).alias("n"))
     sub = subgrid_from_code(F.col("zc"), order)
     name = tilename(sub, F.col("tx") * ts, F.col("ty") * ts, tiling_id)
     return agg.select(
@@ -249,26 +341,33 @@ def assign_tiles_jvm(
     ts = float(TILING_ID_TO_SIZE[tiling_id])
     order = tuple(system_order)
 
+    from equi7grid_spark.operators import kernel
+
+    use_kernel = kernel.kernel_available(df.sparkSession) and order == DEFAULT_SYSTEM_ORDER
+
+    def project(frame: DataFrame) -> DataFrame:
+        if use_kernel:
+            k = frame.withColumn(
+                "_xy", kernel.xy_col(F.col("zc"), F.col(lon_col), F.col(lat_col))
+            )
+            return (
+                k.withColumn("x", F.element_at("_xy", 1))
+                .withColumn("y", F.element_at("_xy", 2))
+                .drop("_xy")
+            )
+        return with_aeqd_forward(
+            frame, "zc", lon_col, lat_col, "x", "y", system_order=order
+        )
+
     out = with_zone_code_jvm(df, lon_col, lat_col, "zc", system_order=order)
     if drop_out_of_zone:
-        out = out.filter(F.col("zc") >= 0)
-        out = with_aeqd_forward(
-            out, "zc", lon_col, lat_col, "x", "y", system_order=order
-        )
+        out = project(out.filter(F.col("zc") >= 0))
     else:
         # Vincenty needs a valid zone index; out-of-zone rows (zc null,
         # possible only for points exactly on zone edges) get NaN x/y
         # like the pandas path yields.
         nan = F.lit(float("nan"))
-        proj = with_aeqd_forward(
-            out.filter(F.col("zc") >= 0),
-            "zc",
-            lon_col,
-            lat_col,
-            "x",
-            "y",
-            system_order=order,
-        )
+        proj = project(out.filter(F.col("zc") >= 0))
         outside = (
             out.filter(F.col("zc").isNull())
             .withColumn("x", nan)

@@ -1,0 +1,95 @@
+"""Compiled JVM projection kernel: loading + registration.
+
+The flagship's hot per-row math (iterative Vincenty AEQD forward) is
+compiled Java (equi7grid_spark/jvm/src, built to equi7-kernel.jar by
+scripts/build_jvm_kernel.sh and checked in). One JIT-hot method per row
+beats the unrolled Column-expression chain ~2x (the chain pays ~30
+per-operator row copies) and the pandas path ~1.5x (no Python workers,
+no Arrow boundary) — and unlike both, it converges the lambda
+fixed-point to the same tol=1e-13 as the NumPy kernel, so values agree
+to float64 round-off.
+
+Loaded at runtime with ADD JAR + registerJavaFunction, so it works on
+ANY SparkSession (including the driver's own), not just ones built by
+session.get_spark. Every caller feature-detects via kernel_available()
+and falls back to the pure Column implementation
+(functions/geodesy_cols) — the engine stays fully functional without
+the jar.
+
+SQL functions registered:
+  equi7_xy(zc tinyint, lon double, lat double) -> array<double> [x, y]
+  equi7_tile_key(zc, lon, lat, ts double) -> bigint packed tile key
+      ((floor(x/ts) + 8192) << 14) | (floor(y/ts) + 8192)
+  equi7_zone_tile_key(lon, lat, ts) -> bigint (zc << 28) | tile key,
+      null when out of every zone — zone resolution included (the
+      1-degree cell map + exact boundary parity live in the jar as a
+      1.8 MB resource), so the flagship needs one scan, zero joins,
+      one shuffle on a single long column.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KERNEL_JAR = Path(__file__).resolve().parents[1] / "jvm" / "equi7-kernel.jar"
+
+_KERNEL_STATE: dict[int, bool] = {}
+
+
+def kernel_available(spark: SparkSession) -> bool:
+    """Register the compiled kernel on this session (once); False if
+    the jar is absent or the session cannot load it."""
+    key = id(spark)
+    cached = _KERNEL_STATE.get(key)
+    if cached is not None:
+        return cached
+    ok = False
+    if KERNEL_JAR.exists():
+        try:
+            spark.sql(f"ADD JAR '{KERNEL_JAR}'")
+            spark.udf.registerJavaFunction(
+                "equi7_xy", "equi7.VincentyXY", T.ArrayType(T.DoubleType())
+            )
+            spark.udf.registerJavaFunction(
+                "equi7_tile_key", "equi7.TileKey", T.LongType()
+            )
+            spark.udf.registerJavaFunction(
+                "equi7_zone_tile_key", "equi7.ZoneTileKey", T.LongType()
+            )
+            row = spark.sql(
+                "SELECT equi7_tile_key(CAST(3 AS TINYINT), 15.0D, 48.0D, 600000.0D),"
+                " equi7_zone_tile_key(15.0D, 48.0D, 600000.0D)"
+            ).collect()
+            ok = row[0][0] is not None and row[0][1] is not None
+        except Exception:
+            ok = False
+    _KERNEL_STATE[key] = ok
+    return ok
+
+
+def tile_key_col(zc: Column, lon: Column, lat: Column, tile_size: float) -> Column:
+    return F.call_udf("equi7_tile_key", zc, lon, lat, F.lit(float(tile_size)))
+
+
+def zone_tile_key_col(lon: Column, lat: Column, tile_size: float) -> Column:
+    return F.call_udf("equi7_zone_tile_key", lon, lat, F.lit(float(tile_size)))
+
+
+def unpack_zc(ztkey: Column) -> Column:
+    return F.shiftright(ztkey, 28).cast("tinyint")
+
+
+def xy_col(zc: Column, lon: Column, lat: Column) -> Column:
+    return F.call_udf("equi7_xy", zc, lon, lat)
+
+
+def unpack_tx(tkey: Column) -> Column:
+    return (F.shiftright(tkey, 14).bitwiseAND(F.lit(16383)) - F.lit(8192)).cast("long")
+
+
+def unpack_ty(tkey: Column) -> Column:
+    return (tkey.bitwiseAND(F.lit(16383)) - F.lit(8192)).cast("long")

@@ -62,12 +62,16 @@ def mosaic_tiles(
     """Merge per-(tile, image) warped rasters into one raster per tile —
     the natural downstream of warp/resample.py at scale.
 
-    Two-stage salted grouped-map: stage 1 composites each
-    (tile, salt) subgroup in parallel (hot tiles → n_salt tasks),
-    stage 2 composites the ≤ n_salt partials per tile. The reducer must
-    be associative+commutative ('max'/'first') for the two-stage split
-    to be exact; 'last' requires a deterministic order and is applied
-    with image_id ordering inside each stage.
+    'max' (associative + commutative) runs the two-stage salted
+    grouped-map: stage 1 composites each (tile, salt) subgroup in
+    parallel (hot tiles → n_salt tasks), stage 2 merges the ≤ n_salt
+    partials per tile — exact for any interleaving.
+
+    'first'/'last' are ORDER-dependent (by image_id): a salted split
+    interleaves image ids across partials, so no partial ordering can
+    make the two-stage merge exact (ADVICE round-1). They run as a
+    single deterministic grouped-map per tile, sorted by image_id —
+    correct, at the cost of one task per hot tile.
     """
     schema = (
         "subgrid string, tilename string, bytes binary, w int, h int, "
@@ -77,6 +81,7 @@ def mosaic_tiles(
     def stage(keys_have_salt: bool):
         def go(key, pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("image_id" if "image_id" in pdf else "n_images")
+            pdf = pdf.reset_index(drop=True)
             arrays = [
                 np.frombuffer(b, dtype=np.dtype(dt)).reshape(h, w)
                 for b, dt, w, h in zip(pdf["bytes"], pdf["dtype"], pdf["w"], pdf["h"])
@@ -100,6 +105,10 @@ def mosaic_tiles(
 
         return go
 
+    if reducer in ("first", "last"):
+        return warped.groupBy("subgrid", "tilename").applyInPandas(
+            stage(False), schema=schema
+        )
     salted = with_salt(warped, "image_id", n_salt)
     partial = salted.groupBy("subgrid", "tilename", "salt").applyInPandas(
         stage(True), schema=schema

@@ -116,6 +116,38 @@ def q_tilename_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tilename_format_t2",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY})
+    SELECT key,
+           subgrid || '_E' ||
+           lpad(((floor(x/200000)*200000)/100000)::INT::VARCHAR, 3, '0') ||
+           (CASE WHEN floor(y/200000)*200000 < 0 THEN 'S' ELSE 'N' END) ||
+           lpad(abs((floor(y/200000)*200000)/100000)::INT::VARCHAR, 3, '0') ||
+           'T2' AS tilename_t2
+    FROM d
+    """,
+)
+def q_tilename_format_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined tiling level (reference get_user_equi7grid,
+    core.py:538-569): a T2 = 200 km grid registered via
+    make_user_grid_config, then the same JVM-side tilename algebra."""
+    from equi7grid_spark.constants import (
+        RegularTilingDefinition,
+        make_user_grid_config,
+    )
+
+    make_user_grid_config(
+        500, {1: RegularTilingDefinition(name="T2", tile_shape=200_000)}
+    )
+    d = _derived_xy(spark, sf_dir)
+    return d.select(
+        "key",
+        TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T2").alias("tilename_t2"),
+    )
+
+
+@register(
     "tilename_parse",
     f"""
     WITH d AS ({_SQL_DERIVED_XY}),

@@ -4,21 +4,31 @@ Real Iceberg jars are unavailable offline (SURVEY.md §7.0), so the
 engine ships a thin snapshot/manifest layer over parquet with the same
 operational contract the north rule demands: every run appends
 per-partition lineage (partition key, row count, duration, input) to a
-metrics table, commits are atomic (manifest written last), and a
-restarted job anti-joins away already-committed partitions. Swapping
-in real Iceberg later only replaces this module's IO.
+metrics table, commits are atomic, and a restarted job anti-joins away
+already-committed partitions.
+
+Atomicity model (Iceberg's, in miniature): each write lands its data
+files in a NEW per-snapshot directory ``data/snap-<id>/``; the manifest
+records which snapshot directory owns each partition, and ``read()``
+unions ONLY directories referenced by the CURRENT manifest. The
+pointer flip (rename of CURRENT) is the commit — a crash between the
+data write and the flip leaves an orphan snapshot directory that is
+invisible to readers and is garbage-collected by the next resumed
+write. Swapping in real Iceberg later only replaces this module's IO.
 
 Layout under <root>/:
-  data/subgrid=<CC>/...parquet      partitioned data files
-  _manifests/manifest-<id>.json     snapshot: committed partitions + stats
-  _manifests/CURRENT                pointer to the live manifest
+  data/snap-<id>/subgrid=<CC>/...parquet   per-snapshot data files
+  _manifests/manifest-<id>.json            snapshot: partitions + stats
+  _manifests/CURRENT                       pointer to the live manifest
 """
 
 from __future__ import annotations
 
 import json
+import shutil
 import time
 import uuid
+from functools import reduce
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +39,7 @@ class IcebergLiteTable:
     def __init__(self, root: str | Path):
         self.root = Path(root)
         self.manifest_dir = self.root / "_manifests"
+        self.data_dir = self.root / "data"
 
     # -- manifest IO --------------------------------------------------
     def current_manifest(self) -> dict | None:
@@ -43,14 +54,33 @@ class IcebergLiteTable:
             return set()
         return {p["partition"] for p in m["partitions"]}
 
-    def _commit(self, partitions: list[dict], meta: dict) -> dict:
+    def committed_snapshot_dirs(self) -> list[Path]:
+        m = self.current_manifest()
+        if not m:
+            return []
+        dirs = sorted({p["snap_dir"] for p in m["partitions"]})
+        return [self.data_dir / d for d in dirs]
+
+    def gc_uncommitted(self) -> list[str]:
+        """Delete orphan snapshot directories (data written by a run
+        that crashed before its manifest flip). Safe because readers
+        only ever union committed directories."""
+        live = {p.name for p in self.committed_snapshot_dirs()}
+        removed = []
+        if self.data_dir.exists():
+            for d in self.data_dir.iterdir():
+                if d.is_dir() and d.name.startswith("snap-") and d.name not in live:
+                    shutil.rmtree(d)
+                    removed.append(d.name)
+        return removed
+
+    def _commit(self, partitions: list[dict], meta: dict, snapshot_id: str) -> dict:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         prev = self.current_manifest()
         merged: dict[str, dict] = {}
         if prev:
             merged.update({p["partition"]: p for p in prev["partitions"]})
         merged.update({p["partition"]: p for p in partitions})
-        snapshot_id = uuid.uuid4().hex[:16]
         manifest = {
             "snapshot_id": snapshot_id,
             "parent_id": prev["snapshot_id"] if prev else None,
@@ -61,7 +91,7 @@ class IcebergLiteTable:
         }
         name = f"manifest-{snapshot_id}.json"
         (self.manifest_dir / name).write_text(json.dumps(manifest, indent=1))
-        # atomic-ish pointer flip (last step = the commit)
+        # the pointer flip IS the commit (atomic rename)
         tmp = self.manifest_dir / "CURRENT.tmp"
         tmp.write_text(name)
         tmp.replace(self.manifest_dir / "CURRENT")
@@ -76,12 +106,17 @@ class IcebergLiteTable:
         meta: dict | None = None,
         resume: bool = True,
     ) -> dict:
-        """Write `df` partitioned by `partition_col`; skip partitions the
-        current manifest already committed (resume); record per-partition
-        row counts + duration as lineage."""
+        """Write `df` partitioned by `partition_col` into a fresh
+        snapshot directory; skip partitions the current manifest already
+        committed (resume); record per-partition row counts + duration
+        as lineage. Data becomes visible only at the manifest flip."""
+        if resume:
+            self.gc_uncommitted()
         done = self.committed_partitions() if resume else set()
         if done:
             df = df.filter(~F.col(partition_col).isin(sorted(done)))
+        snapshot_id = uuid.uuid4().hex[:16]
+        snap_dir = f"snap-{snapshot_id}"
         t0 = time.time()
         # per-partition row counts (lineage) — one extra small agg job
         counts = {
@@ -93,9 +128,9 @@ class IcebergLiteTable:
         if counts:
             (
                 df.repartition(partition_col)
-                .write.mode("append")
+                .write.mode("error")
                 .partitionBy(partition_col)
-                .parquet(str(self.root / "data"))
+                .parquet(str(self.data_dir / snap_dir))
             )
         dt = time.time() - t0
         parts = [
@@ -104,13 +139,20 @@ class IcebergLiteTable:
                 "rows": int(v),
                 "seconds": round(dt, 3),
                 "written_at_unix": time.time(),
+                "snap_dir": snap_dir,
             }
             for k, v in sorted(counts.items())
         ]
-        manifest = self._commit(parts, meta or {})
+        manifest = self._commit(parts, meta or {}, snapshot_id)
         manifest["newly_written"] = sorted(counts)
         manifest["skipped_resume"] = sorted(done)
         return manifest
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(str(self.root / "data"))
+        """Union of the COMMITTED snapshot directories only — files from
+        an uncommitted (crashed) write are never visible."""
+        dirs = self.committed_snapshot_dirs()
+        if not dirs:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        frames = [spark.read.parquet(str(d)) for d in dirs]
+        return reduce(lambda a, b: a.unionByName(b), frames)

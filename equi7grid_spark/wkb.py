@@ -44,7 +44,25 @@ def parse_wkb(buf: bytes) -> list[list[np.ndarray]]:
     off += 1
     (gtype,) = struct.unpack_from(bo + "I", buf, off)
     off += 4
-    gtype = gtype & 0xFF  # strip SRID/Z flags if present (none expected)
+    # EWKB flags: Z/M/SRID are additional data the plain-2D parser below
+    # cannot skip — masking them away would misparse the payload (e.g.
+    # the 4 SRID bytes as a ring count, silently corrupting coordinates;
+    # ADVICE round-1). SRID is the one flag with a fixed-size prefix we
+    # can consume; dimensional flags are rejected with a clear error.
+    _EWKB_Z, _EWKB_M, _EWKB_SRID = 0x80000000, 0x40000000, 0x20000000
+    if gtype & (_EWKB_Z | _EWKB_M):
+        raise ValueError(
+            f"EWKB Z/M geometry (type 0x{gtype:08x}) not supported: "
+            "this parser reads 2D coordinates only"
+        )
+    if gtype & _EWKB_SRID:
+        off += 4  # skip the SRID payload
+        gtype &= ~_EWKB_SRID
+    if gtype >= 1000:  # ISO WKB Z (1000+), M (2000+), ZM (3000+)
+        raise ValueError(
+            f"ISO WKB geometry type {gtype} has Z/M dimensions: "
+            "this parser reads 2D coordinates only"
+        )
 
     if gtype == _POLYGON:
         rings, _ = _parse_polygon_body(buf, off, bo)

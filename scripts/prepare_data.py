@@ -45,7 +45,7 @@ from equi7grid_spark.geom import (
     points_in_polys,
     points_in_rings,
 )
-from equi7grid_spark.land import load_land_polys
+from equi7grid_spark.land import covers_land_sampled
 from equi7grid_spark.wkb import parse_wkb
 
 DATA_DIR = Path(__file__).resolve().parents[1] / "equi7grid_spark" / "data"
@@ -142,49 +142,11 @@ def tilename(cc: str, ll_x: float, ll_y: float, tiling_id: str) -> str:
     return f"{cc}_E{tx:03d}{ns}{abs(ty):03d}T{tiling_id[1:]}"
 
 
-def _covers_land_sampled(
-    cc: str,
-    ix: np.ndarray,
-    iy: np.ndarray,
-    ts: float,
-    k: int,
-    land_geog: list,
-    variant: str = "std",
-) -> np.ndarray:
-    """Per tile: does any of a k×k sample of tile points lie inside both
-    the land mask and this zone (geographic space)?"""
-    from equi7grid_spark.geodesy import aeqd_inverse
-
-    n = ix.size
-    if n == 0:
-        return np.zeros(0, bool)
-    offs = (np.arange(k) + 0.5) / k * ts
-    OX, OY = np.meshgrid(offs, offs)
-    px = (ix[:, None] * ts + OX.ravel()[None, :]).ravel()
-    py = (iy[:, None] * ts + OY.ravel()[None, :]).ravel()
-    lon, lat = aeqd_inverse(cc, px, py)
-    in_land = points_in_polys(lon, lat, land_geog)
-    hit = np.zeros(lon.shape, bool)
-    if in_land.any():
-        # prefiltered zone test (1-degree grid + exact PIP only on
-        # boundary cells) — orders of magnitude faster than raw PIP
-        # against the 5-11k-vertex zone rings
-        from equi7grid_spark.zones import zone_membership
-
-        sub_lon, sub_lat = lon[in_land], lat[in_land]
-        in_zone = zone_membership(
-            sub_lon, sub_lat, buffered=(variant == "bfrd"), system_order=(cc,)
-        )[:, 0]
-        hit[in_land] = in_zone
-    return hit.reshape(n, k * k).any(axis=1)
-
-
 def build_catalog(projected: dict, zones_geog: dict) -> None:
     """Tiles intersecting each projected zone polygon (std + buffered
     variants), per level, with engine-defined covers_land from the
     synthetic land mask intersected with each zone (reference
     core.py:403-411 semantics)."""
-    land_geog = load_land_polys()
     rows = {
         "variant": [], "subgrid": [], "tiling_id": [], "level": [], "tilename": [],
         "ll_x": [], "ll_y": [], "covers_land": [], "zone_boundary": [],
@@ -207,9 +169,7 @@ def build_catalog(projected: dict, zones_geog: dict) -> None:
             # inverse-project, and require a sample inside BOTH the land
             # mask and this zone (geographic PIP).
             k = 24 if ts >= 300000 else 12
-            covers = _covers_land_sampled(
-                cc, ix, iy, float(ts), k, land_geog, variant
-            )
+            covers = covers_land_sampled(cc, ix, iy, float(ts), k, variant)
             order = np.lexsort((iy, ix))
             for j in order:
                 llx, lly = float(ix[j] * ts), float(iy[j] * ts)

@@ -123,6 +123,43 @@ def test_assign_tiles_jvm_equals_pandas_path(spark, sf_dir):
     np.testing.assert_allclose(a["y"], b["y"], atol=1e-6)
 
 
+def test_tile_counts_column_fallback_equals_kernel(spark, sf_dir, monkeypatch):
+    """Both execution paths — compiled kernel and pure Column
+    Vincenty — must agree with the pandas path (and hence each other)."""
+    from equi7grid_spark.operators import kernel
+
+    df = _points(spark, sf_dir).select("lon", "lat")
+    ref = tile_counts(df).orderBy("tilename").toPandas()
+    with_kernel = tile_counts_jvm(df).orderBy("tilename").toPandas()
+    monkeypatch.setattr(kernel, "kernel_available", lambda s: False)
+    columns_only = tile_counts_jvm(df).orderBy("tilename").toPandas()
+    pd.testing.assert_frame_equal(ref, with_kernel)
+    pd.testing.assert_frame_equal(ref, columns_only)
+
+
+def test_kernel_xy_matches_numpy(spark):
+    from equi7grid_spark.operators import kernel
+
+    if not kernel.kernel_available(spark):
+        pytest.skip("kernel jar not available")
+    lo, la, zc = _inzone_grid(step=3.5)
+    pdf = pd.DataFrame({"lon": lo, "lat": la, "zc": zc.astype("int8")})
+    out = (
+        spark.createDataFrame(pdf)
+        .select("zc", "lon", "lat", kernel.xy_col(F.col("zc"), F.col("lon"), F.col("lat")).alias("xy"))
+        .toPandas()
+    )
+    xs = np.empty(len(out))
+    ys = np.empty(len(out))
+    for code in np.unique(out["zc"]):
+        m = (out["zc"] == code).to_numpy()
+        cc = DEFAULT_SYSTEM_ORDER[code]
+        xs[m], ys[m] = aeqd_forward(cc, out["lon"].to_numpy()[m], out["lat"].to_numpy()[m])
+    gx = np.array([v[0] for v in out["xy"]])
+    gy = np.array([v[1] for v in out["xy"]])
+    assert np.abs(gx - xs).max() < 1e-8 and np.abs(gy - ys).max() < 1e-8
+
+
 def test_assign_tiles_jvm_keeps_all_rows_when_not_dropping(spark):
     """The std zones partition the globe (decided_cell_codes has no -1
     cells), so drop_out_of_zone=False must simply preserve row count and

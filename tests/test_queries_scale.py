@@ -70,10 +70,16 @@ def test_flagship_tile_counts_plan_is_jvm_only(spark):
     from equi7grid_spark.operators.assign_jvm import tile_counts_jvm
     from equi7grid_spark.queries import _derived_lonlat
 
+    from equi7grid_spark.operators import kernel
+
     df = _derived_lonlat(spark, SF)
     plan = _physical(tile_counts_jvm(df))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    # exactly one data shuffle (the partial-aggregated groupBy);
-    # BroadcastExchange nodes are the two tiny lookup maps
+    # exactly one data shuffle (the partial-aggregated groupBy)
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "BroadcastHashJoin" in plan
+    if kernel.kernel_available(spark):
+        # one-call compiled kernel: no joins at all
+        assert "Join" not in plan
+    else:
+        # Column fallback: broadcast lookup joins only
+        assert "BroadcastHashJoin" in plan
