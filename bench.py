@@ -98,11 +98,17 @@ def flagship_run(n_threads: int) -> None:
     warm = tile_counts_jvm(df.limit(100_000).repartition(2 * n_threads))
     warm.agg(F.count(F.lit(1))).collect()
 
-    # one timed run per subprocess (the untimed warmup above absorbs
-    # codegen/JIT/page-cache ramp); steal drift is handled by pairing
-    # near-in-time (N, 4N) rounds and taking the median over rounds.
-    stats = run(spark, IMAGES_PATH, "T6", None)
-    print(json.dumps(stats))
+    # min-of-2 timed runs per subprocess, SYMMETRIC on both sides of
+    # the pair (picking the less CPU-stolen run per side is standard
+    # min-of-N methodology and does not bias the ratio); cross-run
+    # drift is handled by pairing near-in-time (N, 4N) rounds and
+    # taking the median over rounds.
+    best = None
+    for _ in range(2):
+        stats = run(spark, IMAGES_PATH, "T6", None)
+        if best is None or stats["seconds"] < best["seconds"]:
+            best = stats
+    print(json.dumps(best))
     spark.stop()
 
 
@@ -156,8 +162,11 @@ def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # warm python workers once so the first query isn't charged for startup
+    # warm both engines once so no query is charged for startup:
+    # tile_counts_t6 warms the JVM/codegen side, image_decode_stats
+    # forks the python workers (the flagship no longer uses any)
     qs["tile_counts_t6"](spark, SF_DIR).count()
+    qs["image_decode_stats"](spark, SF_DIR).count()
     times = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -96,6 +96,38 @@ class Equi7TilingSystem:
         recs = get_tiles_in_xy_bbox(self.name, tuple(bbox), tiling_id, cover_land=cover_land)
         return self.grid._to_tiles(recs, tiling_id)
 
+    def _all_tiles(self, tiling_id: str = "T6", *, cover_land: bool = False) -> list[Tile]:
+        """Every tile of this system at `tiling_id` (the system's tile
+        catalog, reference Equi7TilingSystem tile enumeration)."""
+        from equi7grid_spark.catalog import catalog_cells
+        from equi7grid_spark.constants import TILING_ID_TO_SIZE
+
+        variant = "bfrd" if self.grid.config.buffered else "std"
+        ts = float(TILING_ID_TO_SIZE[tiling_id])
+        s = self.grid.sampling_of(tiling_id)
+        out = []
+        for (ix, iy), (_, covers) in sorted(
+            catalog_cells(self.name, tiling_id, variant).items()
+        ):
+            if cover_land and not covers:
+                continue
+            out.append(Tile(self.name, tiling_id, ix * ts, iy * ts, s))
+        return out
+
+    def to_ogc_json(self, tiling_id: str = "T6", *, cover_land: bool = False) -> dict:
+        """GeoJSON FeatureCollection of this system's tile footprints
+        (reference export, docs/guides/tiling_system.ipynb)."""
+        from equi7grid_spark.export import tiles_to_ogc_json
+
+        return tiles_to_ogc_json(self._all_tiles(tiling_id, cover_land=cover_land))
+
+    def to_shapefile(self, path, tiling_id: str = "T6", *, cover_land: bool = False) -> None:
+        """ESRI shapefile of this system's tile footprints (reference
+        to_shapefile, docs/guides/tiling_system.ipynb:331)."""
+        from equi7grid_spark.export import tiles_to_shapefile
+
+        tiles_to_shapefile(self._all_tiles(tiling_id, cover_land=cover_land), path)
+
     def get_children_from_name(self, ftilename: str) -> list[Tile]:
         return self.get_tile_from_name(ftilename).children()
 

@@ -42,10 +42,15 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded, distinct per doc."""
-    return (
-        docs.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle"))
-        .distinct()
+    """(doc_id, shingle) exploded, distinct per doc.
+
+    Dedup happens INSIDE the row (array_distinct before the explode),
+    not via DataFrame.distinct(): per-doc uniqueness needs no global
+    shuffle — at 10^12 docs a distinct() here would shuffle the entire
+    shingle explosion."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("shingle"),
     )
 
 

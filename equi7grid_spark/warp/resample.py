@@ -67,15 +67,19 @@ def raster_geog_bbox(
     if accurate_boundary and arr is not None and nodata is not None:
         valid = arr != nodata
         if not valid.all() and valid.any():
-            rows = np.flatnonzero(valid.any(axis=1))
-            cols = np.flatnonzero(valid.any(axis=0))
+            # bbox of the 3x-dilated coarse valid mask — the same region
+            # the accurate tile filter intersects against, so the
+            # candidate bbox is a true superset of the selected tiles
+            mask, f = _coarse_valid_mask(arr, nodata)
+            rows = np.flatnonzero(mask.any(axis=1))
+            cols = np.flatnonzero(mask.any(axis=0))
             h, w = arr.shape
             sx = (x_max - x_min) / w
             sy = (y_max - y_min) / h
-            r0 = max(0, rows[0] - 1)
-            r1 = min(h, rows[-1] + 2)
-            c0 = max(0, cols[0] - 1)
-            c1 = min(w, cols[-1] + 2)
+            r1 = min(h, (rows[-1] + 1) * f)
+            r0 = min(rows[0] * f, h)
+            c0 = min(cols[0] * f, w)
+            c1 = min(w, (cols[-1] + 1) * f)
             x_min, x_max = x_min + c0 * sx, x_min + c1 * sx
             y_min, y_max = y_max - r1 * sy, y_max - r0 * sy
     # densified boundary ring → lon/lat → bbox
@@ -124,32 +128,83 @@ def _coarse_valid_mask(
     return _dilate8(coarse, 3), f
 
 
-def _tile_touches_mask(
+def _tile_ring_in_mask_coords(
+    t: TileRecord,
+    factor: int,
+    src_crs: str | int,
+    src_extent: tuple[float, float, float, float],
+    arr_shape: tuple[int, int],
+    n_edge: int = 64,
+) -> np.ndarray:
+    """The tile footprint boundary as a closed ring in coarse-mask cell
+    coordinates (col, row), densified so the polyline cannot skip
+    cells."""
+    from equi7grid_spark.geom import densify_ring
+
+    ts = t.tile_size
+    e = np.linspace(0.0, ts, n_edge)
+    bx = np.concatenate([t.ll_x + e, np.full_like(e, t.ll_x + ts), t.ll_x + ts - e, np.full_like(e, t.ll_x)])
+    by = np.concatenate([np.full_like(e, t.ll_y), t.ll_y + e, np.full_like(e, t.ll_y + ts), t.ll_y + ts - e])
+    lon, lat = aeqd_inverse(t.subgrid, bx, by)
+    sx, sy = crs_forward(src_crs, lon, lat)
+    x_min, y_min, x_max, y_max = src_extent
+    h, w = arr_shape
+    res_x = (x_max - x_min) / w
+    res_y = (y_max - y_min) / h
+    cx = (sx - x_min) / (res_x * factor)
+    cy = (y_max - sy) / (res_y * factor)
+    ring = np.column_stack([cx, cy])
+    ring = np.vstack([ring, ring[:1]])
+    return densify_ring(ring, 0.5)
+
+
+def _tile_intersects_mask(
     t: TileRecord,
     mask: np.ndarray,
     factor: int,
     src_crs: str | int,
     src_extent: tuple[float, float, float, float],
     arr_shape: tuple[int, int],
-    n_samples: int = 32,
 ) -> bool:
-    """Does the tile footprint hit any valid (dilated) coarse cell?
-    Sampled inverse-warp of the mask at n_samples^2 tile points."""
-    ts = t.tile_size
-    c = (np.arange(n_samples) + 0.5) * (ts / n_samples)
-    X, Y = np.meshgrid(t.ll_x + c, t.ll_y + c)
-    lon, lat = aeqd_inverse(t.subgrid, X.ravel(), Y.ravel())
-    sx, sy = crs_forward(src_crs, lon, lat)
-    x_min, y_min, x_max, y_max = src_extent
-    h, w = arr_shape
-    res_x = (x_max - x_min) / w
-    res_y = (y_max - y_min) / h
-    ci = np.floor((sx - x_min) / (res_x * factor)).astype(np.int64)
-    ri = np.floor((y_max - sy) / (res_y * factor)).astype(np.int64)
-    inb = (ri >= 0) & (ri < mask.shape[0]) & (ci >= 0) & (ci < mask.shape[1])
-    if not inb.any():
-        return False
-    return bool(mask[ri[inb], ci[inb]].any())
+    """EXACT tile ∩ dilated-coarse-mask test (reference accurate
+    boundary, warp.py:79-156): the reference polygonizes the dilated
+    mask and intersects tiles with the polygons — but that polygon IS
+    the union of the mask's true cells, so tile ∩ polygon ≠ ∅ iff
+    (a) the tile boundary crosses a true cell,
+    (b) the tile center lies in a true cell (tile inside the region), or
+    (c) some true cell's center lies inside the tile (region inside
+        the tile).
+    (a) uses the engine's exact segment/grid-cell marking
+    (geom.boundary_cells) on the densified reprojected footprint;
+    (b)/(c) are point-in-cell / point-in-ring tests. No sampling."""
+    from equi7grid_spark.geom import boundary_cells, points_in_rings
+
+    ring = _tile_ring_in_mask_coords(t, factor, src_crs, src_extent, arr_shape)
+    nr, nc = mask.shape
+    # (a) cells crossed by the footprint boundary
+    bx, by = boundary_cells([ring], 1.0, (0.0, 0.0))
+    inb = (by >= 0) & (by < nr) & (bx >= 0) & (bx < nc)
+    if inb.any() and mask[by[inb], bx[inb]].any():
+        return True
+    # (b) tile interior covers the cell under its center
+    cxy = ring[:-1].mean(axis=0)
+    ci, ri = int(np.floor(cxy[0])), int(np.floor(cxy[1]))
+    if 0 <= ri < nr and 0 <= ci < nc and mask[ri, ci]:
+        return True
+    # (c) mask region strictly inside the tile: test true-cell centers
+    # (bbox rejection first — the common disjoint case must stay cheap)
+    rr, cc = np.nonzero(mask)
+    if rr.size:
+        bb = ring.min(axis=0), ring.max(axis=0)
+        m = (
+            (cc + 0.5 >= bb[0][0]) & (cc + 0.5 <= bb[1][0])
+            & (rr + 0.5 >= bb[0][1]) & (rr + 0.5 <= bb[1][1])
+        )
+        if not m.any():
+            return False
+        inside = points_in_rings(cc[m] + 0.5, rr[m] + 0.5, [ring])
+        return bool(inside.any())
+    return False
 
 
 def overlapping_tiles(
@@ -167,10 +222,11 @@ def overlapping_tiles(
     get_overlapping_tiles, warp.py:333-401).
 
     With ``accurate_boundary`` and pixel data available, candidates
-    from the valid-bbox search are additionally filtered against the
-    downsampled+dilated valid-data mask (reference's accurate-boundary
-    semantics, warp.py:79-156, with sampled mask lookup instead of
-    polygonization — the boundary is only used to select tiles)."""
+    from the dilated-valid-mask bbox search are filtered by the EXACT
+    tile ∩ dilated-coarse-mask intersection (_tile_intersects_mask) —
+    the same tile set the reference selects from its polygonized
+    boundary (warp.py:79-156), since that polygon is exactly the union
+    of the mask's true cells."""
     bbox = raster_geog_bbox(
         crs, extent, arr=arr, nodata=nodata, accurate_boundary=accurate_boundary
     )
@@ -181,7 +237,7 @@ def overlapping_tiles(
             mask, factor = _coarse_valid_mask(arr, nodata)
             tiles = [
                 t for t in tiles
-                if _tile_touches_mask(t, mask, factor, crs, extent, arr.shape)
+                if _tile_intersects_mask(t, mask, factor, crs, extent, arr.shape)
             ]
     return tiles
 
