@@ -144,18 +144,24 @@ def audio_stats(audio: DataFrame) -> DataFrame:
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                wav = decode_audio_pcm(r["bytes"], r["fmt"]).astype(np.float64)
-                rows.append(
-                    {
-                        "clip_id": r["clip_id"],
-                        "n_samples": int(wav.size),
-                        "rms": float(np.sqrt(np.mean(wav**2))) if wav.size else 0.0,
-                        "peak": int(np.abs(wav).max()) if wav.size else 0,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["clip_id", "n_samples", "rms", "peak"])
+            n = len(pdf)
+            n_samples = np.empty(n, dtype=np.int64)
+            rms = np.empty(n)
+            peak = np.empty(n, dtype=np.int32)
+            it = zip(pdf["bytes"].to_numpy(object), pdf["fmt"].to_numpy(object))
+            for i, (b, f) in enumerate(it):
+                wav = decode_audio_pcm(b, f).astype(np.float64)
+                n_samples[i] = wav.size
+                rms[i] = np.sqrt(np.mean(wav**2)) if wav.size else 0.0
+                peak[i] = np.abs(wav).max() if wav.size else 0
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].to_numpy(object),
+                    "n_samples": n_samples,
+                    "rms": rms,
+                    "peak": peak,
+                }
+            )
 
     return audio.select("clip_id", "bytes", "fmt").mapInPandas(go, schema=schema)
 
@@ -168,26 +174,37 @@ def sample_video_frames(video: DataFrame, every_n: int = 2) -> DataFrame:
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                if r["fmt"] != "fake-frames":
+            vids, idxs, frames, ws, hs = [], [], [], [], []
+            it = zip(
+                pdf["video_id"].to_numpy(object),
+                pdf["bytes"].to_numpy(object),
+                pdf["fmt"].to_numpy(object),
+                pdf["w"].to_numpy(),
+                pdf["h"].to_numpy(),
+            )
+            for vid, b, f, w, h in it:
+                if f != "fake-frames":
                     raise NotImplementedError(
-                        f"video format {r['fmt']!r}: no video codecs in this "
+                        f"video format {f!r}: no video codecs in this "
                         "environment (stubbed per SURVEY.md §7.4)"
                     )
-                w, h = int(r["w"]), int(r["h"])
+                w, h = int(w), int(h)
                 frame_sz = w * h
-                n_frames = len(r["bytes"]) // frame_sz
+                n_frames = len(b) // frame_sz
                 for k in range(0, n_frames, every_n):
-                    rows.append(
-                        {
-                            "video_id": r["video_id"],
-                            "frame_idx": k,
-                            "bytes": r["bytes"][k * frame_sz : (k + 1) * frame_sz],
-                            "w": w,
-                            "h": h,
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "bytes", "w", "h"])
+                    vids.append(vid)
+                    idxs.append(k)
+                    frames.append(b[k * frame_sz : (k + 1) * frame_sz])
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "video_id": pd.array(vids, dtype=object),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "bytes": pd.array(frames, dtype=object),
+                    "w": np.asarray(ws, dtype=np.int32),
+                    "h": np.asarray(hs, dtype=np.int32),
+                }
+            )
 
     return video.select("video_id", "bytes", "fmt", "w", "h").mapInPandas(go, schema=schema)

@@ -32,10 +32,14 @@ from equi7grid_spark.operators.assign import assign_tiles
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+# oracle may be a plain SQL string or a zero-arg callable resolved at
+# oracle_sql() time (for oracles spliced from engine data artifacts,
+# e.g. the decided-cell digit map — building them at import would load
+# zone data even for consumers that never ask for oracles)
+_REGISTRY: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle: str | Callable[[], str] | None):
     def deco(fn: QueryFn):
         _REGISTRY[name] = (fn, oracle)
         return fn
@@ -48,7 +52,11 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in _REGISTRY.items()
+        if sql is not None
+    }
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1098,6 +1106,134 @@ def q_tile_assign_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _derived_lonlat(spark, sf_dir)
     return tile_counts_jvm(pts, tiling_id="T6").select("subgrid", "tilename", "n")
+
+
+_SQL_DERIVED_LONLAT = """
+  SELECT c_custkey AS pt_id,
+         ((c_custkey*9973) % 36000)/100.0 - 180.0 AS lon,
+         ((c_custkey*7919) % 17800)/100.0 - 89.0 AS lat
+  FROM customer
+"""
+
+
+def _decided_pts_sql() -> str:
+    """CTE body `dec`: derived lonlat points restricted to 1-degree
+    cells whose primary zone the prefilter alone decides (digit 0..6 of
+    the engine's decided-cell map — functions/geodesy_sql)."""
+    from equi7grid_spark.functions.geodesy_sql import cell_id_sql, decided_digit_string
+
+    digits = decided_digit_string()
+    return f"""
+    pts AS ({_SQL_DERIVED_LONLAT}),
+    coded AS (
+      SELECT pt_id, lon, lat,
+             CAST(substr('{digits}', {cell_id_sql()} + 1, 1) AS TINYINT) AS zc
+      FROM pts
+    ),
+    dec AS (SELECT * FROM coded WHERE zc <= 6)
+    """
+
+
+_SQL_SUBGRID = "list_extract(['AF','AN','AS','EU','OC','NA','SA'], zc + 1)"
+
+
+def _oracle_zone_assign_decided() -> str:
+    return f"""
+    WITH {_decided_pts_sql()}
+    SELECT {_SQL_SUBGRID} AS subgrid, count(*)::BIGINT AS n
+    FROM dec GROUP BY subgrid ORDER BY subgrid
+    """
+
+
+def _spark_decided_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _decided_pts_sql: broadcast cell-map join, keep
+    only prefilter-decided rows (zc 0..6). Zero Python, zero shuffles."""
+    from equi7grid_spark.operators.assign_jvm import cell_id_col, cell_map_df
+
+    pts = _derived_lonlat(spark, sf_dir)
+    d = pts.withColumn("__cell", cell_id_col(F.col("lon"), F.col("lat")))
+    cells = cell_map_df(spark).withColumnRenamed("cell_id", "__cell")
+    return (
+        d.join(F.broadcast(cells), "__cell")
+        .filter(F.col("zc") >= 0)
+        .drop("__cell")
+    )
+
+
+@register("zone_assign_decided_counts", _oracle_zone_assign_decided)
+def q_zone_assign_decided_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone assignment, value-exact DuckDB oracle on the decided-cell
+    subset (95.8% of cells; the boundary-cell PIP remainder is covered
+    by the full rows-only zone_assign_counts + the golden test suite).
+    The oracle embeds the engine's 64,800-digit cell map as a substr
+    lookup, so the Spark broadcast join and the SQL agree cell by cell."""
+    from equi7grid_spark.operators.assign import subgrid_from_code
+
+    d = _spark_decided_pts(spark, sf_dir)
+    return (
+        d.groupBy("zc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(subgrid_from_code(F.col("zc")).alias("subgrid"), "n")
+        .orderBy("subgrid")
+    )
+
+
+def _oracle_tile_assign_decided() -> str:
+    from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
+
+    return f"""
+    WITH {_decided_pts_sql()},
+    proj AS ({aeqd_forward_sql("dec")}),
+    keyed AS (
+      SELECT zc,
+             CAST(floor(x/600000.0) AS BIGINT) AS tx,
+             CAST(floor(y/600000.0) AS BIGINT) AS ty
+      FROM proj
+    ),
+    agg AS (
+      SELECT zc, tx, ty, count(*)::BIGINT AS n FROM keyed GROUP BY zc, tx, ty
+    )
+    SELECT {_SQL_SUBGRID} || '_E' ||
+           lpad(((tx * 600000.0)/100000)::INT::VARCHAR, 3, '0') ||
+           (CASE WHEN ty * 600000.0 < 0 THEN 'S' ELSE 'N' END) ||
+           lpad(abs((ty * 600000.0)/100000)::INT::VARCHAR, 3, '0') ||
+           'T6' AS tilename,
+           {_SQL_SUBGRID} AS subgrid, n
+    FROM agg
+    """
+
+
+@register("tile_assign_decided_t6_counts", _oracle_tile_assign_decided)
+def q_tile_assign_decided_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's geodesic core under a value-exact DuckDB oracle:
+    the oracle re-derives the AEQD forward (Vincenty inverse problem)
+    as the SAME 6-round unrolled arithmetic in pure SQL
+    (functions/geodesy_sql mirrors functions/geodesy_cols term for
+    term). Outputs are tile indices/counts — floor-robust against the
+    <1e-6 m cross-engine convergence slack — on the decided-cell
+    subset (boundary-cell PIP stays rows-only in tile_assign_t6_counts)."""
+    from equi7grid_spark.functions.geodesy_cols import with_aeqd_forward
+    from equi7grid_spark.functions.tiling import tilename
+    from equi7grid_spark.operators.assign import subgrid_from_code
+
+    ts = 600000.0
+    d = _spark_decided_pts(spark, sf_dir).select("zc", "lon", "lat")
+    proj = with_aeqd_forward(d, "zc", "lon", "lat", "x", "y", carry=["zc"])
+    agg = (
+        proj.select(
+            "zc",
+            F.floor(F.col("x") / ts).cast("long").alias("tx"),
+            F.floor(F.col("y") / ts).cast("long").alias("ty"),
+        )
+        .groupBy("zc", "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sub = subgrid_from_code(F.col("zc"))
+    return agg.select(
+        tilename(sub, F.col("tx") * ts, F.col("ty") * ts, "T6").alias("tilename"),
+        sub.alias("subgrid"),
+        "n",
+    )
 
 
 @register("lonlat_roundtrip_maxerr", None)
