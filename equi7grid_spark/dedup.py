@@ -171,6 +171,65 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
+def duplicate_clusters(
+    docs: DataFrame, threshold: float = 0.8, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the verified near-duplicate graph:
+    (doc_id, cluster_id = min doc_id in the component), one row per doc
+    that has at least one verified near-duplicate.
+
+    The canonical training-pipeline closer for dedup: LSH candidates →
+    exact Jaccard verify (edges) → transitive clustering → keep one
+    representative per cluster (cluster_id IS the canonical doc).
+
+    Scale shape: min-label propagation — label(v) ← min(label(v),
+    min over neighbors) — one equi-join + partial-aggregated groupBy
+    per round, converging in O(component diameter) rounds. Near-dup
+    components are shallow (duplicates of a common source), so this
+    terminates in a handful of rounds; each round localCheckpoints the
+    label frame, truncating the lineage/plan growth that kills
+    iterative DataFrame jobs at scale. No driver-side graph state —
+    the driver sees only the per-round changed-row count.
+    """
+    pairs = ngram_jaccard_pairs(docs, threshold).select("a", "b")
+    # symmetric edge list, cached: reused every round
+    edges = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("lab").alias("nlab"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(nmin, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("lab", "new_lab")
+            .join(labels, "id")
+            .filter(F.col("new_lab") != F.col("lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
 _HEX = "0123456789abcdef"
 
 

@@ -792,6 +792,136 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    f"""
+    {_SQL_LSH_BANDS.replace("WITH sh", "WITH RECURSIVE sh", 1)},
+    cpairs AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    ),
+    sh2 AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, count(*)::BIGINT AS n_inter
+      FROM cpairs p
+      JOIN sh2 sa ON sa.doc_id = p.a
+      JOIN sh2 sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+      GROUP BY p.a, p.b
+    ),
+    vpairs AS (
+      SELECT i.a, i.b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.a
+      JOIN sizes zb ON zb.doc_id = i.b
+      WHERE n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter) >= 0.8
+    ),
+    edges AS (
+      SELECT a, b FROM vpairs UNION ALL SELECT b AS a, a AS b FROM vpairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS lab FROM edges
+      UNION
+      SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    )
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clustering (the dedup pipeline closer:
+    candidates → verify → connected components → canonical doc per
+    cluster). Spark runs min-label propagation, one join round per
+    component-diameter step (dedup.duplicate_clusters); the DuckDB
+    oracle computes the same fixpoint as a recursive transitive-closure
+    CTE — both sides converge to cluster_id = min doc_id reachable, so
+    the comparison is exact despite the different algorithms."""
+    from equi7grid_spark.dedup import duplicate_clusters
+
+    return duplicate_clusters(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "corpus_curation",
+    f"""
+    {_SQL_LSH_BANDS.replace("WITH sh", "WITH RECURSIVE sh", 1)},
+    cpairs AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    ),
+    sh2 AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, count(*)::BIGINT AS n_inter
+      FROM cpairs p
+      JOIN sh2 sa ON sa.doc_id = p.a
+      JOIN sh2 sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+      GROUP BY p.a, p.b
+    ),
+    vpairs AS (
+      SELECT i.a, i.b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.a
+      JOIN sizes zb ON zb.doc_id = i.b
+      WHERE n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter) >= 0.8
+    ),
+    edges AS (
+      SELECT a, b FROM vpairs UNION ALL SELECT b AS a, a AS b FROM vpairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS lab FROM edges
+      UNION
+      SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    dupes AS (
+      SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lab) <> id
+    )
+    SELECT d.doc_id,
+           len(string_split(d.text, ' '))::INT AS n_tokens
+    FROM documents d
+    WHERE length(regexp_replace(d.text, '[^aeiou]', '', 'g'))::DOUBLE
+            / length(regexp_replace(d.text, '[^a-z]', '', 'g')) BETWEEN 0.33 AND 0.55
+      AND len(string_split(d.text, ' ')) >= 20
+      AND length(regexp_replace(d.text, '[aeiou]', '', 'g'))::DOUBLE
+            / length(d.text) <= 0.725
+      AND d.doc_id NOT IN (SELECT doc_id FROM dupes)
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pass, composed from the
+    oracled building blocks in ONE job: language filter (vowel-ratio
+    heuristic) + minimum-length filter + near-duplicate removal
+    keeping each cluster's canonical (minimum doc_id) member. The
+    anti-join side is the clustered duplicate set — at 10^12 docs it
+    is a small fraction of the corpus, and the join key is doc_id, so
+    the plan is scan → filter (pushed down) → one anti-join against
+    the (much smaller) duplicate list."""
+    from equi7grid_spark.dedup import duplicate_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    vowels = F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")).cast("double")
+    letters = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    ratio = vowels / letters
+    cons = F.length(F.regexp_replace(F.col("text"), "[aeiou]", "")).cast("double")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    dupes = (
+        duplicate_clusters(d, threshold=0.8)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        d.filter(
+            (ratio >= 0.33)
+            & (ratio <= 0.55)
+            & (n_tokens >= 20)
+            & (cons / F.length("text") <= 0.725)
+        )
+        .join(dupes, "doc_id", "left_anti")
+        .select("doc_id", n_tokens.cast("int").alias("n_tokens"))
+    )
+
+
+@register(
     "dedup_simhash",
     """
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
