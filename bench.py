@@ -121,20 +121,73 @@ def _flagship_subprocess(n: int) -> dict:
     return json.loads(line)
 
 
-def measure_scaling(rounds: int = 3) -> dict:
-    """Median-of-paired-rounds estimator: the host's CPU steal drifts on
-    the minutes timescale, so a single (N, 4N) pair is noisy (observed
-    0.64-1.19 across full runs). Each round runs the 4N side then the N
-    side back to back; the per-round efficiency pairs near-in-time
-    measurements, and the median over rounds cancels the drift."""
+def _cpu_ticks(n: int) -> tuple[int, int]:
+    """(steal_ticks, total_ticks) summed over cpus 0..n-1 (the pinned
+    range) from /proc/stat."""
+    steal = total = 0
+    for ln in Path("/proc/stat").read_text().splitlines():
+        if ln.startswith("cpu") and ln[3:4].isdigit():
+            parts = ln.split()
+            if int(parts[0][3:]) < n:
+                vals = [int(v) for v in parts[1:9]]
+                steal += vals[7]
+                total += sum(vals)
+    return steal, total
+
+
+STEAL_MAX = float(os.environ.get("BENCH_STEAL_MAX", "0.04"))
+
+
+def _measured_run(n: int) -> tuple[dict, float]:
+    """One pinned flagship subprocess + the steal fraction its pinned
+    cpus suffered while it ran."""
+    s0, t0 = _cpu_ticks(n)
+    stats = _flagship_subprocess(n)
+    s1, t1 = _cpu_ticks(n)
+    return stats, (s1 - s0) / max(1, t1 - t0)
+
+
+def measure_scaling(rounds: int = 3, max_extra: int = 4) -> dict:
+    """Steal-filtered median-of-paired-rounds estimator.
+
+    This VM suffers hypervisor CPU-steal epochs lasting minutes
+    (observed: the same pinned 12-core job at 27.5s → 36.0s → 44.5s
+    across one otherwise-idle bench run). Wall-clock under steal
+    measures the hypervisor, not the engine, and a stolen epoch biases
+    the ratio in EITHER direction depending on which side it hits. So
+    each pinned run also measures the steal fraction its cpus suffered
+    (/proc/stat delta); a side whose steal exceeds BENCH_STEAL_MAX
+    (default 4%) is re-run (bounded by `max_extra` extra subprocesses
+    per round). The reported efficiency is the median over rounds of
+    near-in-time (4N, N) pairs, with every run's steal fraction
+    recorded in the output for audit."""
     ensure_images()
-    effs, best = [], {}
+    effs, best, steals = [], {}, []
     for r in range(rounds):
-        pair = {}
+        pair, retries = {}, 0
         for n in (4 * SCALE_N, SCALE_N):
-            time.sleep(15)
-            stats = _flagship_subprocess(n)
-            rps = stats["images"] / stats["seconds"]
+            while True:
+                time.sleep(15)
+                stats, steal = _measured_run(n)
+                rps = stats["images"] / stats["seconds"]
+                print(
+                    f"# round {r}: local[{n}] pinned {stats['images']} imgs "
+                    f"in {stats['seconds']}s = {rps:,.0f} img/s "
+                    f"(steal {steal:.1%})",
+                    file=sys.stderr,
+                )
+                accepted = steal <= STEAL_MAX
+                if accepted or retries >= max_extra:
+                    if not accepted:
+                        print(
+                            f"# round {r}: accepting stolen run (retries "
+                            f"exhausted)",
+                            file=sys.stderr,
+                        )
+                    break
+                retries += 1
+                print(f"# round {r}: steal too high, re-running", file=sys.stderr)
+            steals.append(round(steal, 4))
             pair[n] = rps
             cur = best.get(n)
             if cur is None or rps > cur["rows_per_sec"]:
@@ -143,11 +196,6 @@ def measure_scaling(rounds: int = 3) -> dict:
                     "rows": stats["images"],
                     "rows_per_sec": round(rps, 1),
                 }
-            print(
-                f"# round {r}: local[{n}] pinned {stats['images']} imgs "
-                f"in {stats['seconds']}s = {rps:,.0f} img/s",
-                file=sys.stderr,
-            )
         eff = pair[4 * SCALE_N] / (4.0 * pair[SCALE_N])
         effs.append(eff)
         print(f"# round {r}: pair efficiency {eff:.3f}", file=sys.stderr)
@@ -155,6 +203,7 @@ def measure_scaling(rounds: int = 3) -> dict:
     res = {f"local{n}": v for n, v in best.items()}
     res["pair_efficiencies"] = [round(e, 3) for e in effs]
     res["scaling_efficiency"] = round(effs[len(effs) // 2], 3)
+    res["steal_fracs"] = steals
     return res
 
 
@@ -190,7 +239,10 @@ def main() -> None:
 
     time.sleep(15)  # settle after the pinned scaling runs
     spark = _session(CPUS, "equi7_bench_headline")
+    s0, t0 = _cpu_ticks(CPUS)
     qtimes = run_headline(spark)
+    s1, t1 = _cpu_ticks(CPUS)
+    headline_steal = round((s1 - s0) / max(1, t1 - t0), 4)
     spark.stop()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -206,6 +258,8 @@ def main() -> None:
         "scaling_pair": [SCALE_N, 4 * SCALE_N],
         "scaling_pair_efficiencies": scaling["pair_efficiencies"],
         "scaling_efficiency_n_to_4n": scaling["scaling_efficiency"],
+        "scaling_run_steal_fracs": scaling["steal_fracs"],
+        "headline_steal_frac": headline_steal,
     }
     print(json.dumps(out))
 
