@@ -187,6 +187,7 @@ def measure_scaling(rounds: int = 3, max_extra: int = 4) -> dict:
                     break
                 retries += 1
                 print(f"# round {r}: steal too high, re-running", file=sys.stderr)
+                time.sleep(45)  # steal epochs last minutes; let it pass
             steals.append(round(steal, 4))
             pair[n] = rps
             cur = best.get(n)
