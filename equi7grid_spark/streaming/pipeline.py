@@ -146,6 +146,28 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    keys: tuple[str, ...] = ("phash",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup of a landing table: keep the first arrival
+    per key, with dedup state BOUNDED by the watermark horizon
+    (dropDuplicatesWithinWatermark) — the streaming twin of the batch
+    dedup_exact query. At 10^12 rows an unbounded dropDuplicates state
+    would grow with the full key history; the watermark variant holds
+    only keys younger than the horizon, which is the only shape that
+    survives a continuously landing image table (duplicate uploads
+    cluster in time — retries, crawler re-fetches)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
     """Drain everything currently available into an in-memory sink and
     stop — the batch-equivalent execution used by tests and backfills."""

@@ -83,3 +83,23 @@ def test_flagship_tile_counts_plan_is_jvm_only(spark):
     else:
         # Column fallback: broadcast lookup joins only
         assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_curation_plan_shape(spark):
+    """Filters must reach the documents scan stage (no Python nodes),
+    and the duplicate removal must be an anti-join on doc_id — never a
+    broadcast (duplicate lists are a large corpus fraction at web
+    scale) and never a cartesian."""
+    plan = _physical(QUERIES["corpus_curation"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decided_tile_assign_plan_is_jvm_only(spark):
+    """The oracled geodesic query: broadcast cell-map join + Column
+    Vincenty, zero Python, a single aggregation shuffle."""
+    plan = _physical(QUERIES["tile_assign_decided_t6_counts"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

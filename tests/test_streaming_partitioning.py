@@ -129,3 +129,30 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert s.count() >= gap_closed.count()
     assert s.exceptAll(all_sessions).count() == 0   # nothing invented
     assert gap_closed.exceptAll(s).count() == 0     # every gap-closed emitted
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup (watermark-bounded state) must keep exactly one
+    row per phash for duplicates landing inside the horizon — equal to
+    the batch dropDuplicates key set on the same input."""
+    from equi7grid_spark.streaming.pipeline import run_available_now, streaming_dedup
+
+    src = str(tmp_path / "dedup_landing")
+    imgs = synthetic_images(spark, 400, with_bytes=False)
+    # re-land the first 100 rows (crawler retry shape: same phash twice)
+    dupes = imgs.filter(F.col("phash") % 4 == 0)
+    with_ts = (
+        imgs.unionAll(dupes)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("phash") % 600))
+    )
+    with_ts.write.parquet(src)
+    schema = IMAGES_SCHEMA + ", ts timestamp"
+
+    out = streaming_dedup(spark, src, schema, keys=("phash",), watermark="1 hour")
+    assert out.isStreaming
+    run_available_now(out.select("image_id", "phash"), str(tmp_path / "ck_dd"), "stream_dedup")
+    res = spark.sql("select * from stream_dedup")
+
+    n_distinct = with_ts.select("phash").distinct().count()
+    assert res.count() == n_distinct
+    assert res.select("phash").distinct().count() == n_distinct
