@@ -41,6 +41,20 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Pre-explosion parallelism guard: a small parquet file reads as
+    ONE partition (row groups don't split), so an explosive operator
+    downstream (shingle/token explode multiplies rows ~50x) runs
+    single-core — measured 2.8s single-task for the sf0.1 shingle
+    explosion vs 0.35s spread. Repartition only when the input has
+    fewer partitions than cores; at real scale inputs already carry
+    many partitions and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded, distinct per doc.
 
@@ -48,7 +62,7 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     not via DataFrame.distinct(): per-doc uniqueness needs no global
     shuffle — at 10^12 docs a distinct() here would shuffle the entire
     shingle explosion."""
-    return docs.select(
+    return spread_small_input(docs).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("shingle"),
     )
@@ -233,24 +247,36 @@ def duplicate_clusters(
 _HEX = "0123456789abcdef"
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over whitespace tokens: bit i = sign of the sum of
-    (±1) parities of hex digit i of md5(token). Engine-independent (md5
-    + strpos arithmetic only)."""
-    toks = tokens(text)
+def token_md5s(text: Column) -> Column:
+    """array<string>: md5 hex of every whitespace token, hashed ONCE."""
+    # NB: transform lambdas must be 1-arg — a 2-arg lambda makes
+    # Spark's transform() pass the array index as the second argument.
+    return F.transform(tokens(text), lambda t: F.md5(t.cast("binary")))
+
+
+def simhash_from_hexes(hexes: Column) -> Column:
+    """16-bit SimHash from a MATERIALIZED per-token md5-hex array:
+    bit i = sign of the sum of (±1) parities of hex digit i.
+
+    `hexes` must be a bound attribute (a real column of the child
+    plan), not an expression alias: the 16 bit lanes each read the
+    array, these HOF lambdas run interpreted (CodegenFallback), and
+    interpreted evaluation has no common-subexpression elimination —
+    an inlined md5 expression here would hash every token 16x
+    (measured ~2x the whole operator). Callers materialize the array
+    behind an explode(array(...)) Generate barrier, which neither
+    CollapseProject nor PushDownPredicate rewrites through."""
 
     def _digit_fn(i: int):
-        # NB: must be a 1-arg lambda — a 2-arg lambda makes Spark's
-        # transform() pass the array index as the second argument.
-        def f(t: Column) -> Column:
-            pos = F.instr(F.lit(_HEX), F.substring(F.md5(t.cast("binary")), i + 1, 1))
+        def f(h: Column) -> Column:
+            pos = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1))
             return (pos % 2) * 2 - 1
 
         return f
 
     bits = []
     for i in range(16):
-        digit = F.transform(toks, _digit_fn(i))
+        digit = F.transform(hexes, _digit_fn(i))
         s = F.aggregate(digit, F.lit(0), lambda acc, v: acc + v)
         bits.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
     out = bits[0]
@@ -259,9 +285,21 @@ def simhash16(text: Column) -> Column:
     return out.cast("int")
 
 
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens (single-Column form; for
+    hot paths prefer the materialized two-step in simhash_near_dups —
+    see simhash_from_hexes on why)."""
+    return simhash_from_hexes(token_md5s(text))
+
+
 def simhash_near_dups(docs: DataFrame) -> DataFrame:
     """Docs sharing an identical 16-bit SimHash (hamming-0 buckets)."""
-    s = docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    hx = spread_small_input(docs).select(
+        "doc_id",
+        # Generate barrier: materialize the per-token md5 array once
+        F.explode(F.array(token_md5s(F.col("text")))).alias("__hx"),
+    )
+    s = hx.select("doc_id", simhash_from_hexes(F.col("__hx")).alias("simhash"))
     return (
         s.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_id"))
