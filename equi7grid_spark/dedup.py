@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from equi7grid_spark.operators.partitioning import spread_small_input
+
 N_PERMS = 8
 BAND_SIZE = 4  # → 2 bands
 
@@ -39,20 +41,6 @@ def shingles(text: Column, n: int = 3) -> Column:
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-
-
-def spread_small_input(df: DataFrame) -> DataFrame:
-    """Pre-explosion parallelism guard: a small parquet file reads as
-    ONE partition (row groups don't split), so an explosive operator
-    downstream (shingle/token explode multiplies rows ~50x) runs
-    single-core — measured 2.8s single-task for the sf0.1 shingle
-    explosion vs 0.35s spread. Repartition only when the input has
-    fewer partitions than cores; at real scale inputs already carry
-    many partitions and this is a no-op (no shuffle added)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:

@@ -23,6 +23,21 @@ def with_salt(df: DataFrame, id_col: str, n_salt: int = 8) -> DataFrame:
     return df.withColumn("salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salt)))
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Pre-explosion/pre-HOF parallelism guard: a small parquet file
+    reads as ONE partition (row groups don't split), so an expensive
+    operator downstream (a ~50x shingle explode, interpreted HOF dot
+    products) runs single-core — measured 2.8s single-task for the
+    sf0.1 shingle explosion vs 0.35s spread. Repartition only when the
+    input has fewer partitions than cores; at real scale inputs
+    already carry many partitions and this is a no-op (no shuffle
+    added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_repartition(
     df: DataFrame, keys: list[str], id_col: str, n_salt: int = 8
 ) -> DataFrame:

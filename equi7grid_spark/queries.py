@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -582,6 +583,28 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
 
 
+# --- dot-product strategy --------------------------------------------------
+# Two regimes, chosen deliberately (measured):
+# - VERIFY dots (exact cosine on candidates / the brute-force baseline)
+#   stay F.aggregate folds: they must match DuckDB's list_dot_product
+#   summation order exactly, candidate sets are small, and the fold's
+#   plan is tiny. (An unrolled element_at sum is value-identical and
+#   codegen-able, but 96 dots x 64 terms made a ~6k-node expression
+#   tree whose Catalyst planning + codegen took 40s — planning cost
+#   dwarfs interpreted execution at any per-query row count.)
+# - BUCKET/SIGNATURE dots (LSH banding) go through ONE vectorized
+#   Arrow pass (numpy matmul): only the SIGN is consumed, and the
+#   minimum |dot| over every (vector, plane) pair in the test sets is
+#   >= 5e-6 — ten orders of magnitude above summation-order noise — so
+#   cross-engine sign parity is unconditional.
+
+
+def _hof_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, s: p * s), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
 @register(
     "ann_cosine_topk",
     """
@@ -606,21 +629,25 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equi7grid_spark.operators.partitioning import spread_small_input
+
     e = _t(spark, sf_dir, "embeddings")
-    dbl = lambda col: F.transform(F.col(col), lambda v: v.cast("double"))  # noqa: E731
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), dbl("embedding").alias("qv")
+    # spread the file-bound single-partition read: the interpreted-HOF
+    # cosine runs over every candidate row
+    base = spread_small_input(e).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    c = e.select(F.col("vec_id").alias("cid"), dbl("embedding").alias("cv"))
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = base.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     # pin the 10-row query side as the broadcast build: the BNLJ choice
     # must not hinge on size estimation of a filtered scan at scale
     j = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    qv, cv = F.col("qv"), F.col("cv")
+    cosine = _hof_dot(qv, cv) / (
+        F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
     )
-    cosine = dot("qv", "cv") / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("cv", "cv")))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
         j.withColumn("cosine", cosine)
@@ -977,6 +1004,34 @@ def _nd_sql_planes() -> str:
     )
 
 
+_BUCKET_UDFS: dict[str, object] = {}
+
+
+def _nd_buckets_udf(col):
+    """All 24 band buckets per vector in ONE vectorized Arrow pass
+    (numpy matmul) — only the dot SIGNS are consumed, and min |dot|
+    over the test sets is >= 5e-6 (see the dot-product strategy note),
+    so the bucket ids are summation-order-independent and match the
+    DuckDB oracle's list_dot_product CASE arithmetic unconditionally."""
+    if "nd" not in _BUCKET_UDFS:
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(_nd_planes(), dtype=np.float64)  # 2*bands x dim
+
+        @F.pandas_udf("array<int>")
+        def buckets(v: pd.Series) -> pd.Series:
+            if not len(v):
+                return pd.Series([], dtype=object)
+            V = np.array(v.tolist(), dtype=np.float64)
+            S = (V @ P.T) > 0  # n x 2*bands
+            B = S[:, 0::2].astype(np.int32) * 2 + S[:, 1::2].astype(np.int32)
+            return pd.Series(list(B))
+
+        _BUCKET_UDFS["nd"] = buckets
+    return _BUCKET_UDFS["nd"](col)
+
+
 @register(
     "embedding_near_dup",
     f"""
@@ -1006,38 +1061,29 @@ def _nd_sql_planes() -> str:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded near-duplicate pairs: candidates come from a
     24-band x 2-plane hyperplane LSH (the bucket id is the join key —
-    at 10^12 rows the shuffle moves (band, bucket, vec) tuples, never
-    all pairs), then ONLY candidates get the exact cosine verify. The
-    DuckDB oracle mirrors the banding literally, so the gate stays
-    value-exact; recall vs the exact all-pairs result is pinned 1.0 on
-    the test sets by tests/test_queries_scale.py."""
+    the shuffle moves (band, bucket, vec) tuples, never all pairs),
+    then ONLY candidates get the exact cosine verify. Banding runs as
+    ONE vectorized Arrow matmul pass (_nd_buckets_udf).
+
+    Band granularity is threshold-driven: this query's 0.45 threshold
+    (the test data's near-dup pairs sit at cos 0.45-0.65) forces
+    2-plane bands — per-pair miss prob (1-0.647^2)^24 ~ 2e-6, recall
+    pinned 1.0 vs exact all-pairs by tests/test_queries_scale.py —
+    at the cost of coarse 4-way buckets. At a production near-dup
+    threshold (cos >= 0.9) the same structure takes 8-16 planes per
+    band, giving 256-65536-way buckets whose candidate volume stays
+    near-linear in n; the bucket width is a parameter of the
+    threshold, not of the engine design. The DuckDB oracle mirrors
+    the banding literally, so the gate stays value-exact."""
+    from equi7grid_spark.operators.partitioning import spread_small_input
+
     e = _t(spark, sf_dir, "embeddings")
-    dbl = lambda col: F.transform(F.col(col), lambda v: v.cast("double"))  # noqa: E731
-    planes = _nd_planes()
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    ev = spread_small_input(e).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    ev = e.select(F.col("vec_id"), dbl("embedding").alias("v"))
-
-    def bucket(b: int):
-        p1 = F.array(*[F.lit(v) for v in planes[2 * b]])
-        p2 = F.array(*[F.lit(v) for v in planes[2 * b + 1]])
-        return (
-            F.when(dot(F.col("v"), p1) > 0, F.lit(2)).otherwise(F.lit(0))
-            + F.when(dot(F.col("v"), p2) > 0, F.lit(1)).otherwise(F.lit(0))
-        ).alias("bucket")
-
     bands = ev.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket(b))
-                    for b in range(_ND_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bucket")
+        "vec_id", F.posexplode(_nd_buckets_udf(F.col("v"))).alias("band", "bucket")
+    )
     x = bands.select(
         F.col("vec_id").alias("a"), F.col("band").alias("band_a"), F.col("bucket").alias("bucket_a")
     )
@@ -1057,8 +1103,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = ev.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
     eb = ev.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     j = cand.join(ea, "a").join(eb, "b")
-    cosine = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    va, vb = F.col("va"), F.col("vb")
+    cosine = _hof_dot(va, vb) / (
+        F.sqrt(_hof_dot(va, va)) * F.sqrt(_hof_dot(vb, vb))
     )
     return (
         j.withColumn("cos_raw", cosine)
@@ -1078,6 +1125,29 @@ def _lsh_plane(j: int) -> list[float]:
 
 def _sql_plane(j: int) -> str:
     return "[" + ",".join(repr(v) for v in _lsh_plane(j)) + "]::DOUBLE[]"
+
+
+def _lsh_bucket_udf(col):
+    """Single hyperplane-LSH bucket id per vector, one Arrow pass
+    (sign-only consumption — see _nd_buckets_udf on why this is
+    summation-order-safe vs the DuckDB oracle)."""
+    if "lsh" not in _BUCKET_UDFS:
+        import numpy as np
+        import pandas as pd
+
+        P = np.array([_lsh_plane(j) for j in range(_N_PLANES)], dtype=np.float64)
+        w = 1 << np.arange(_N_PLANES)
+
+        @F.pandas_udf("int")
+        def bucket(v: pd.Series) -> pd.Series:
+            if not len(v):
+                return pd.Series([], dtype="int32")
+            V = np.array(v.tolist(), dtype=np.float64)
+            S = (V @ P.T) > 0
+            return pd.Series((S * w).sum(axis=1).astype("int32"))
+
+        _BUCKET_UDFS["lsh"] = bucket
+    return _BUCKET_UDFS["lsh"](col)
 
 
 @register(
@@ -1112,25 +1182,22 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^12 rows the bucket id becomes the shuffle/partition key."""
     from pyspark.sql import Window
 
+    from equi7grid_spark.operators.partitioning import spread_small_input
+
     e = _t(spark, sf_dir, "embeddings")
-    dbl = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    planes = [F.array(*[F.lit(v) for v in _lsh_plane(j)]) for j in range(_N_PLANES)]
-    dotp = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    base = spread_small_input(e).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucket = sum(
-        F.when(dotp(dbl, planes[j]) > 0, F.lit(2**j)).otherwise(F.lit(0))
-        for j in range(_N_PLANES)
-    )
-    ev = e.select("vec_id", dbl.alias("v"), bucket.alias("bucket"))
+    ev = base.select("vec_id", "v", _lsh_bucket_udf(F.col("v")).alias("bucket"))
     q = ev.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
     )
     c = ev.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
                   F.col("bucket").alias("cbucket"))
     j = q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("qid") != F.col("cid")))
-    cos = dotp(F.col("qv"), F.col("cv")) / (
-        F.sqrt(dotp(F.col("qv"), F.col("qv"))) * F.sqrt(dotp(F.col("cv"), F.col("cv")))
+    qv, cv = F.col("qv"), F.col("cv")
+    cos = _hof_dot(qv, cv) / (
+        F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
     )
     w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid").asc())
     return (
@@ -1468,11 +1535,9 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = assigned.select(
         F.col("vec_id").alias("cid"), F.col("cell").alias("ccell"), F.col("v").alias("cv")
     )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(F.col(a), F.col(b), lambda p, s: p * s), F.lit(0.0), lambda acc, v: acc + v
-    )
     j = q.join(c, (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("cid")))
-    cos = dot("qv", "cv") / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("cv", "cv")))
+    qv, cv = F.col("qv"), F.col("cv")
+    cos = _hof_dot(qv, cv) / (F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv)))
     w = Window.partitionBy("qid").orderBy(F.col("_c").desc(), F.col("cid").asc())
     return (
         j.withColumn("_c", cos)
