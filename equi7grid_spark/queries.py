@@ -69,7 +69,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _derived_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    from equi7grid_spark.operators.partitioning import spread_small_input
+
+    li = spread_small_input(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    )
     key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
     x = ((key * 1664525 + 1013904223) % 8400000).cast("double")
     y = (((key * 22695477 + 12345) % 10200000) - 1800000).cast("double")
@@ -89,7 +93,9 @@ _SQL_DERIVED_XY = """
 
 
 def _derived_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    from equi7grid_spark.operators.partitioning import spread_small_input
+
+    c = spread_small_input(_t(spark, sf_dir, "customer").select("c_custkey"))
     lon = ((F.col("c_custkey") * 9973) % 36000) / 100.0 - 180.0
     lat = ((F.col("c_custkey") * 7919) % 17800) / 100.0 - 89.0
     return c.select(
