@@ -26,11 +26,24 @@ def streaming_tile_assignment(
     input_dir: str,
     schema: str,
     tiling_id: str = "T6",
+    engine: str = "jvm",
 ) -> DataFrame:
-    """Streaming flagship: landing images → zone+projection UDF → tile
-    Columns. Returns the transformed streaming DataFrame; attach a sink
-    with writeStream (append mode — row-wise transform, no state)."""
+    """Streaming flagship: landing images → zone resolve → AEQD forward
+    → tile Columns. Returns the transformed streaming DataFrame; attach
+    a sink with writeStream (append mode — row-wise transform, no
+    state).
+
+    engine="jvm" (default) is the same zero-Python path as the batch
+    flagship: the decided-cell map and boundary candidate structures
+    join as STATIC broadcast sides of a stream-static join, and the
+    projection is the Column Vincenty — per-microbatch cost is pure JVM
+    compute, no Python workers spun up per trigger. engine="pandas"
+    keeps the round-1 Arrow-UDF path."""
     stream = stream_images(spark, input_dir, schema)
+    if engine == "jvm":
+        from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
+
+        return assign_tiles_jvm(stream, tiling_id=tiling_id)
     return assign_tiles(stream, tiling_id=tiling_id)
 
 

@@ -156,3 +156,26 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_distinct = with_ts.select("phash").distinct().count()
     assert res.count() == n_distinct
     assert res.select("phash").distinct().count() == n_distinct
+
+
+def test_assignment_preserves_captions_and_pixels(spark):
+    """BASELINE input_hint per-row invariant: after the flagship
+    tile-assignment, every surviving row's caption is byte-equal and
+    its decoded pixels identical to the source row's (raw/png are
+    lossless; q8 is checked via its engine decode both sides)."""
+    import numpy as np
+
+    from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
+    from equi7grid_spark.warp.codecs import decode
+
+    imgs = synthetic_images(spark, 300, with_bytes=True)
+    out = assign_tiles_jvm(imgs, tiling_id="T6")
+    src = {r["image_id"]: r for r in imgs.collect()}
+    rows = out.select("image_id", "caption", "bytes", "fmt", "w", "h").collect()
+    assert len(rows) > 250  # out-of-zone drops only
+    for r in rows:
+        s = src[r["image_id"]]
+        assert r["caption"] == s["caption"]
+        a = decode(bytes(r["bytes"]), r["fmt"], r["w"], r["h"])
+        b = decode(bytes(s["bytes"]), s["fmt"], s["w"], s["h"])
+        assert np.array_equal(a, b)
