@@ -1417,11 +1417,23 @@ def q_tile_assign_decided_t6_counts(spark: SparkSession, sf_dir: str) -> DataFra
     subset (boundary-cell PIP stays rows-only in tile_assign_t6_counts)."""
     from equi7grid_spark.functions.geodesy_cols import with_aeqd_forward
     from equi7grid_spark.functions.tiling import tilename
+    from equi7grid_spark.operators import kernel
     from equi7grid_spark.operators.assign import subgrid_from_code
 
     ts = 600000.0
     d = _spark_decided_pts(spark, sf_dir).select("zc", "lon", "lat")
-    proj = with_aeqd_forward(d, "zc", "lon", "lat", "x", "y", carry=["zc"])
+    if kernel.kernel_available(spark):
+        # compiled Vincenty (one call/row, tiny plan) — agrees with the
+        # Column chain < 1e-6 m, far inside the tile-floor margin
+        proj = d.withColumn(
+            "_xy", kernel.xy_col(F.col("zc"), F.col("lon"), F.col("lat"))
+        ).select(
+            "zc",
+            F.element_at("_xy", 1).alias("x"),
+            F.element_at("_xy", 2).alias("y"),
+        )
+    else:
+        proj = with_aeqd_forward(d, "zc", "lon", "lat", "x", "y", carry=["zc"])
     agg = (
         proj.select(
             "zc",
