@@ -1,0 +1,115 @@
+"""Runnable quickstart mirroring the reference's four guide notebooks
+(grid.ipynb, tiling_system.ipynb, tile.ipynb, warp.ipynb) plus the
+Spark-scale flows the reference has no equivalent for. Every printed
+value is asserted, so this doubles as an end-to-end smoke script:
+
+    python examples/quickstart.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def scalar_flows() -> None:
+    # -- grid.ipynb -------------------------------------------------------
+    from equi7grid_spark.api import (
+        Equi7Grid,
+        RegularTilingDefinition,
+        get_standard_equi7grid,
+        get_user_equi7grid,
+    )
+
+    e7grid = get_standard_equi7grid(500)
+    assert e7grid.get_systems_from_lonlat(16, 48) == ["EU"]
+    xy = e7grid.lonlat_to_xy(16, 48)["EU"]
+    assert abs(xy[0] - 5_240_688.09) < 1.0 and abs(xy[1] - 1_597_809.92) < 1.0
+
+    # custom user grid (grid.ipynb cell 92: T2 = 200 km tiles)
+    user = get_user_equi7grid(
+        500, {1: RegularTilingDefinition(name="T2", tile_shape=200_000)}
+    )
+    t2 = user.system("EU").get_tile_from_lonlat(16, 48, "T2")
+    assert t2.name.endswith("T2")
+
+    # (de)serialization round-trip
+    with tempfile.TemporaryDirectory() as td:
+        p = Path(td) / "grid.json"
+        e7grid.to_file(p)
+        again = Equi7Grid.from_file(p)
+        assert again.lonlat_to_xy(16, 48) == e7grid.lonlat_to_xy(16, 48)
+
+    # -- tiling_system.ipynb / tile.ipynb ---------------------------------
+    eu = e7grid.system("EU")
+    tile = eu.get_tile_from_lonlat(16, 48, "T6")
+    assert tile.name == "EU_E048N012T6"
+    assert eu.get_tile_from_name("EU_E048N012T6").ll_x == tile.ll_x
+    kids = e7grid.system("EU").get_children_from_name("EU_E048N012T6")
+    assert len(kids) == 4  # T6 -> T3
+    parent = e7grid.system("EU").get_parent_from_name(kids[0].name)
+    assert parent.name == "EU_E048N012T6"
+
+    # ROI search (reference golden: 4 tiles over Austria-ish bbox)
+    from equi7grid_spark.roi import get_tiles_in_geog_bbox
+
+    tiles = get_tiles_in_geog_bbox((16, 48, 18, 50), "T6")
+    assert [t.tilename for t in tiles] == [
+        "EU_E048N012T6", "EU_E048N018T6", "EU_E054N012T6", "EU_E054N018T6",
+    ]
+    assert len(get_tiles_in_geog_bbox((-179.9, -89.9, 179.9, 89.9), "T6")) == 1801
+
+    print("scalar flows: OK")
+
+
+def spark_flows() -> None:
+    from pyspark.sql import functions as F
+
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm, tile_counts_jvm
+    from equi7grid_spark.operators.join import join_tile_catalog
+    from equi7grid_spark.session import get_spark
+    from equi7grid_spark.table.manifest import IcebergLiteTable
+
+    spark = get_spark(app_name="quickstart", master="local[8]", shuffle_partitions=8)
+
+    # the flagship: assign every image row a tile, count per tile,
+    # enrich from the broadcast tile catalog
+    imgs = synthetic_images(spark, 20_000, with_bytes=False)
+    counts = tile_counts_jvm(imgs, tiling_id="T6")
+    enriched = join_tile_catalog(counts, spark, "T6", how="left")
+    n_tiles = enriched.count()
+    n_imgs = enriched.agg(F.sum("n")).collect()[0][0]
+    assert n_imgs > 19_000 and n_tiles > 100
+
+    # row-level assignment keeps payloads intact (captions, bytes)
+    assigned = assign_tiles_jvm(imgs, tiling_id="T6")
+    assert assigned.filter(F.col("caption").isNull()).count() == 0
+
+    # resumable iceberg-lite sink with per-partition lineage
+    with tempfile.TemporaryDirectory() as td:
+        table = IcebergLiteTable(td)
+        manifest = table.write_partitioned(enriched, "subgrid", resume=True)
+        assert manifest["total_rows"] == n_tiles
+        again = table.write_partitioned(enriched, "subgrid", resume=True)
+        assert again["newly_written"] == []  # everything skipped on resume
+        assert table.read(spark).count() == n_tiles
+
+    # training-pipeline ops on the documents table
+    from equi7grid_spark.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    curated = queries()["corpus_curation"](spark, sf)
+    assert 0 < curated.count() < 500
+
+    spark.stop()
+    print("spark flows: OK")
+
+
+if __name__ == "__main__":
+    scalar_flows()
+    spark_flows()
+    print("quickstart: all flows verified")
