@@ -204,6 +204,7 @@ def duplicate_clusters(
         .select("id", F.col("id").alias("lab"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nmin = (
             edges.join(labels.withColumnRenamed("id", "b"), "b")
@@ -229,6 +230,15 @@ def duplicate_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a component with diameter > max_iter would otherwise return
+        # silently-partial labels (and diverge from the oracle's exact
+        # transitive closure) — fail loudly instead
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter for "
+            "long-chain duplicate components"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
 
 

@@ -105,6 +105,16 @@ def _derived_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# single source of truth for the SQL twin of _derived_lonlat (used by
+# the top_customers_by_zone and decided-cell geodesic oracles)
+_SQL_DERIVED_LONLAT = """
+  SELECT c_custkey AS pt_id,
+         (((c_custkey*9973) % 36000)/100.0 - 180.0)::DOUBLE AS lon,
+         (((c_custkey*7919) % 17800)/100.0 - 89.0)::DOUBLE AS lat
+  FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # tile algebra (SQL-oracled, exact)
 # ---------------------------------------------------------------------------
@@ -544,13 +554,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # try_divide: Spark 4 ANSI throws DIVIDE_BY_ZERO on empty text;
+    # DuckDB double division by zero yields NULL — try_divide matches.
     d = _t(spark, sf_dir, "documents")
     cons = F.length(F.regexp_replace(F.col("text"), "[aeiou]", "")).cast("double")
     toks = F.size(F.split(F.col("text"), " ")).cast("double")
     return d.select(
         "doc_id",
-        F.round(cons / F.length("text"), 9).alias("consonant_ratio"),
-        F.round(toks / F.length("text"), 9).alias("token_density"),
+        F.round(F.try_divide(cons, F.length("text")), 9).alias("consonant_ratio"),
+        F.round(F.try_divide(toks, F.length("text")), 9).alias("token_density"),
     )
 
 
@@ -565,10 +577,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # try_divide: a letterless doc would throw DIVIDE_BY_ZERO under
+    # Spark 4 ANSI; DuckDB yields NULL -> CASE falls to 'other', and
+    # when(NULL) falls to otherwise('other') — identical semantics.
     d = _t(spark, sf_dir, "documents")
     vowels = F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")).cast("double")
     letters = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
-    ratio = vowels / letters
+    ratio = F.try_divide(vowels, letters)
     return d.select(
         "doc_id",
         F.when((ratio >= 0.25) & (ratio <= 0.55), F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
@@ -824,9 +839,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
-@register(
-    "dedup_clusters",
-    f"""
+# shared by the dedup_clusters and corpus_curation oracles: LSH
+# candidates -> exact Jaccard verify (threshold 0.8, arithmetic
+# identical to dedup.ngram_jaccard_pairs) -> symmetric edge list ->
+# recursive transitive closure
+_SQL_CLUSTER_CTES = f"""
     {_SQL_LSH_BANDS.replace("WITH sh", "WITH RECURSIVE sh", 1)},
     cpairs AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -857,6 +874,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
     )
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    {_SQL_CLUSTER_CTES}
     SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
     """,
 )
@@ -876,36 +900,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_curation",
     f"""
-    {_SQL_LSH_BANDS.replace("WITH sh", "WITH RECURSIVE sh", 1)},
-    cpairs AS (
-      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      FROM bands l JOIN bands r
-        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
-    ),
-    sh2 AS ({_SQL_SHINGLES}),
-    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh2 GROUP BY doc_id),
-    inter AS (
-      SELECT p.a, p.b, count(*)::BIGINT AS n_inter
-      FROM cpairs p
-      JOIN sh2 sa ON sa.doc_id = p.a
-      JOIN sh2 sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
-      GROUP BY p.a, p.b
-    ),
-    vpairs AS (
-      SELECT i.a, i.b
-      FROM inter i
-      JOIN sizes za ON za.doc_id = i.a
-      JOIN sizes zb ON zb.doc_id = i.b
-      WHERE n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter) >= 0.8
-    ),
-    edges AS (
-      SELECT a, b FROM vpairs UNION ALL SELECT b AS a, a AS b FROM vpairs
-    ),
-    reach AS (
-      SELECT DISTINCT a AS id, a AS lab FROM edges
-      UNION
-      SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
-    ),
+    {_SQL_CLUSTER_CTES},
     dupes AS (
       SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lab) <> id
     )
@@ -932,9 +927,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.dedup import duplicate_clusters
 
     d = _t(spark, sf_dir, "documents")
+    # try_divide: letterless/empty docs must filter out (NULL ratio),
+    # not crash under ANSI — mirrors DuckDB's NULL on double /0
     vowels = F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")).cast("double")
     letters = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
-    ratio = vowels / letters
+    ratio = F.try_divide(vowels, letters)
     cons = F.length(F.regexp_replace(F.col("text"), "[aeiou]", "")).cast("double")
     n_tokens = F.size(F.split(F.col("text"), " "))
     dupes = (
@@ -947,7 +944,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio >= 0.33)
             & (ratio <= 0.55)
             & (n_tokens >= 20)
-            & (cons / F.length("text") <= 0.725)
+            & (F.try_divide(cons, F.length("text")) <= 0.725)
         )
         .join(dupes, "doc_id", "left_anti")
         .select("doc_id", n_tokens.cast("int").alias("n_tokens"))
@@ -1256,12 +1253,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_customers_by_zone",
     f"""
-    WITH pts AS (
-      SELECT c_custkey AS pt_id,
-             (((c_custkey*9973) % 36000)/100.0 - 180.0)::DOUBLE AS lon,
-             (((c_custkey*7919) % 17800)/100.0 - 89.0)::DOUBLE AS lat
-      FROM customer
-    ),
+    WITH pts AS ({_SQL_DERIVED_LONLAT}),
     spend AS (
       SELECT o_custkey, round(sum(o_totalprice), 2) AS total
       FROM orders GROUP BY o_custkey
@@ -1309,14 +1301,6 @@ def q_tile_assign_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _derived_lonlat(spark, sf_dir)
     return tile_counts_jvm(pts, tiling_id="T6").select("subgrid", "tilename", "n")
-
-
-_SQL_DERIVED_LONLAT = """
-  SELECT c_custkey AS pt_id,
-         ((c_custkey*9973) % 36000)/100.0 - 180.0 AS lon,
-         ((c_custkey*7919) % 17800)/100.0 - 89.0 AS lat
-  FROM customer
-"""
 
 
 def _decided_pts_sql() -> str:

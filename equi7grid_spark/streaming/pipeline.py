@@ -39,6 +39,8 @@ def streaming_tile_assignment(
     projection is the Column Vincenty — per-microbatch cost is pure JVM
     compute, no Python workers spun up per trigger. engine="pandas"
     keeps the round-1 Arrow-UDF path."""
+    if engine not in ("jvm", "pandas"):
+        raise ValueError(f"engine must be 'jvm' or 'pandas', got {engine!r}")
     stream = stream_images(spark, input_dir, schema)
     if engine == "jvm":
         from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
