@@ -412,12 +412,21 @@ def q_bbox_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tile_counts_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group on compact int tile keys; format the tilename string on
+    the ~10^3-row aggregate, not per input row (same post-agg-naming
+    shape as the JVM flagship — strings are the expensive part)."""
+    ts = 600000.0
     d = _derived_xy(spark, sf_dir)
-    return (
-        d.select(TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T6").alias("tilename"))
-        .groupBy("tilename")
+    agg = (
+        d.groupBy(
+            "subgrid",
+            F.floor(F.col("x") / ts).alias("tx"),
+            F.floor(F.col("y") / ts).alias("ty"),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    name = TL.tilename(F.col("subgrid"), F.col("tx") * ts, F.col("ty") * ts, "T6")
+    return agg.select(name.alias("tilename"), "n")
 
 
 def _sql_name_at(ts: int, tid: str) -> str:
