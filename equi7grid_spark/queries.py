@@ -1532,6 +1532,10 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql import Window
 
+    # NOT spread: k-means|| initialization samples depend on the input
+    # partitioning, so a core-count-dependent repartition would make
+    # this rows-only query's output machine-dependent (the driver
+    # contract requires determinism); the fit itself is tiny.
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "vec", array_to_vector(F.transform("embedding", lambda v: v.cast("double")))
     )
