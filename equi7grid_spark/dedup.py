@@ -204,8 +204,12 @@ def duplicate_clusters(
         .select("id", F.col("id").alias("lab"))
         .localCheckpoint()
     )
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     changed = -1
-    for _ in range(max_iter):
+    # max_iter propagation rounds + 1 confirming zero-change round, so
+    # a component whose diameter equals max_iter still converges
+    for _ in range(max_iter + 1):
         nmin = (
             edges.join(labels.withColumnRenamed("id", "b"), "b")
             .groupBy("a")

@@ -1035,10 +1035,21 @@ def _nd_buckets_udf(col):
         def buckets(v: pd.Series) -> pd.Series:
             if not len(v):
                 return pd.Series([], dtype=object)
-            V = np.array(v.tolist(), dtype=np.float64)
-            S = (V @ P.T) > 0  # n x 2*bands
-            B = S[:, 0::2].astype(np.int32) * 2 + S[:, 1::2].astype(np.int32)
-            return pd.Series(list(B))
+            # NULL embedding -> every band bucket 0, matching both the
+            # fold semantics (when(NULL > 0) falls to otherwise(0)) and
+            # the oracle's CASE over list_dot_product(NULL)
+            ok = v.notna().to_numpy()
+            out = np.empty(len(v), dtype=object)
+            zero = np.zeros(P.shape[0] // 2, dtype=np.int32)
+            for i in np.flatnonzero(~ok):
+                out[i] = zero
+            if ok.any():
+                V = np.array(v[ok].tolist(), dtype=np.float64)
+                S = (V @ P.T) > 0  # n x 2*bands
+                B = S[:, 0::2].astype(np.int32) * 2 + S[:, 1::2].astype(np.int32)
+                for i, row in zip(np.flatnonzero(ok), B):
+                    out[i] = row
+            return pd.Series(out)
 
         _BUCKET_UDFS["nd"] = buckets
     return _BUCKET_UDFS["nd"](col)
@@ -1154,9 +1165,14 @@ def _lsh_bucket_udf(col):
         def bucket(v: pd.Series) -> pd.Series:
             if not len(v):
                 return pd.Series([], dtype="int32")
-            V = np.array(v.tolist(), dtype=np.float64)
-            S = (V @ P.T) > 0
-            return pd.Series((S * w).sum(axis=1).astype("int32"))
+            # NULL embedding -> bucket 0 (see _nd_buckets_udf)
+            ok = v.notna().to_numpy()
+            out = np.zeros(len(v), dtype=np.int32)
+            if ok.any():
+                V = np.array(v[ok].tolist(), dtype=np.float64)
+                S = (V @ P.T) > 0
+                out[ok] = (S * w).sum(axis=1).astype("int32")
+            return pd.Series(out)
 
         _BUCKET_UDFS["lsh"] = bucket
     return _BUCKET_UDFS["lsh"](col)

@@ -116,3 +116,27 @@ def test_decided_subset_is_large(spark):
         r["n"] for r in QUERIES["zone_assign_decided_counts"](spark, SF).collect()
     )
     assert decided / full > 0.90
+
+
+def test_duplicate_clusters_max_iter_semantics(spark):
+    """max_iter buys max_iter full propagation rounds (plus the
+    confirming zero-change round): the two-hop chain converges at
+    max_iter=2 and raises at max_iter=1."""
+    import pytest as _pytest
+
+    from equi7grid_spark.dedup import duplicate_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one"),
+        (2, base + " two"),
+        (3, base + " two extra"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(docs, threshold=0.75, max_iter=2).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(docs, threshold=0.75, max_iter=1).collect()
