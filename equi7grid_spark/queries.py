@@ -627,6 +627,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   minimum |dot| over every (vector, plane) pair in the test sets is
 #   >= 5e-6 — ten orders of magnitude above summation-order noise — so
 #   cross-engine sign parity is unconditional.
+# Cosine normalizations use try_divide: a zero-norm vector throws
+# DIVIDE_BY_ZERO under Spark 4 ANSI while DuckDB yields NULL; NULL
+# cosines sort NULLS LAST under DESC in both engines and fail every
+# >= threshold, so the semantics agree.
 
 
 def _hof_dot(a, b):
@@ -639,8 +643,9 @@ def _hof_dot(a, b):
     "ann_cosine_topk",
     """
     WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+               FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE embedding IS NOT NULL),
     scored AS (
       SELECT qid, cid,
              list_dot_product(qv, cv)
@@ -664,7 +669,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     # spread the file-bound single-partition read: the interpreted-HOF
     # cosine runs over every candidate row
-    base = spread_small_input(e).select(
+    base = spread_small_input(e.filter(F.col("embedding").isNotNull())).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = base.filter(F.col("vec_id") < 10).select(
@@ -675,8 +680,8 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must not hinge on size estimation of a filtered scan at scale
     j = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
     qv, cv = F.col("qv"), F.col("cv")
-    cosine = _hof_dot(qv, cv) / (
-        F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
+    cosine = F.try_divide(
+        _hof_dot(qv, cv), F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
@@ -1058,7 +1063,8 @@ def _nd_buckets_udf(col):
 @register(
     "embedding_near_dup",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     planes(band, p1, p2) AS (VALUES {_nd_sql_planes()}),
     buckets AS (
       SELECT vec_id, band,
@@ -1101,7 +1107,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.operators.partitioning import spread_small_input
 
     e = _t(spark, sf_dir, "embeddings")
-    ev = spread_small_input(e).select(
+    ev = spread_small_input(e.filter(F.col("embedding").isNotNull())).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bands = ev.select(
@@ -1127,8 +1133,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = ev.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     j = cand.join(ea, "a").join(eb, "b")
     va, vb = F.col("va"), F.col("vb")
-    cosine = _hof_dot(va, vb) / (
-        F.sqrt(_hof_dot(va, va)) * F.sqrt(_hof_dot(vb, vb))
+    cosine = F.try_divide(
+        _hof_dot(va, vb), F.sqrt(_hof_dot(va, va)) * F.sqrt(_hof_dot(vb, vb))
     )
     return (
         j.withColumn("cos_raw", cosine)
@@ -1182,12 +1188,18 @@ def _lsh_bucket_udf(col):
     "ann_lsh_bucketed",
     f"""
     WITH e AS (
+      -- NULL embeddings are excluded by contract on both engines (the
+      -- Spark side filters isNotNull); NOTE DuckDB 1.0.0 evaluates
+      -- join-key projections before this filter and its vectorized
+      -- list_inner_product rejects batches with NULL rows, so a table
+      -- that still CONTAINS NULLs must be pre-filtered at the view
+      -- (see tests/test_documents_edge_parity.py)
       SELECT vec_id, embedding::DOUBLE[] AS v,
              (CASE WHEN list_dot_product(embedding::DOUBLE[], {_sql_plane(0)}) > 0 THEN 1 ELSE 0 END)
            + (CASE WHEN list_dot_product(embedding::DOUBLE[], {_sql_plane(1)}) > 0 THEN 2 ELSE 0 END)
            + (CASE WHEN list_dot_product(embedding::DOUBLE[], {_sql_plane(2)}) > 0 THEN 4 ELSE 0 END)
              AS bucket
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 10),
     scored AS (
@@ -1213,7 +1225,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.operators.partitioning import spread_small_input
 
     e = _t(spark, sf_dir, "embeddings")
-    base = spread_small_input(e).select(
+    base = spread_small_input(e.filter(F.col("embedding").isNotNull())).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     ev = base.select("vec_id", "v", _lsh_bucket_udf(F.col("v")).alias("bucket"))
@@ -1224,8 +1236,8 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("bucket").alias("cbucket"))
     j = q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("qid") != F.col("cid")))
     qv, cv = F.col("qv"), F.col("cv")
-    cos = _hof_dot(qv, cv) / (
-        F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
+    cos = F.try_divide(
+        _hof_dot(qv, cv), F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
     )
     w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid").asc())
     return (
@@ -1552,7 +1564,10 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning, so a core-count-dependent repartition would make
     # this rows-only query's output machine-dependent (the driver
     # contract requires determinism); the fit itself is tiny.
-    e = _t(spark, sf_dir, "embeddings").withColumn(
+    # NULL embeddings are untrainable — filter before the fit.
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).withColumn(
         "vec", array_to_vector(F.transform("embedding", lambda v: v.cast("double")))
     )
     km = KMeans(k=8, seed=42, maxIter=10, featuresCol="vec", predictionCol="cell")
@@ -1568,7 +1583,9 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = q.join(c, (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("cid")))
     qv, cv = F.col("qv"), F.col("cv")
-    cos = _hof_dot(qv, cv) / (F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv)))
+    cos = F.try_divide(
+        _hof_dot(qv, cv), F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
+    )
     w = Window.partitionBy("qid").orderBy(F.col("_c").desc(), F.col("cid").asc())
     return (
         j.withColumn("_c", cos)
