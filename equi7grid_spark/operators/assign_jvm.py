@@ -195,7 +195,13 @@ def cell_map_df(
 ) -> DataFrame:
     key = (id(spark), tuple(system_order))
     if key not in _CELL_DFS:
-        _CELL_DFS[key] = spark.createDataFrame(cell_code_pdf(tuple(system_order)))
+        # Explicit schema: schema-less createDataFrame(pandas) maps int8
+        # to tinyint only when Arrow conversion is on; a plain driver
+        # session (no Arrow) infers bigint, which downstream crashed the
+        # Java UDF (UDF3<Byte,...>) with Long->Byte ClassCastException.
+        _CELL_DFS[key] = spark.createDataFrame(
+            cell_code_pdf(tuple(system_order)), schema="cell_id int, zc tinyint"
+        )
     return _CELL_DFS[key]
 
 

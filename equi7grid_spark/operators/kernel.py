@@ -60,11 +60,23 @@ def kernel_available(spark: SparkSession) -> bool:
             spark.udf.registerJavaFunction(
                 "equi7_zone_tile_key", "equi7.ZoneTileKey", T.LongType()
             )
-            row = spark.sql(
-                "SELECT equi7_tile_key(CAST(3 AS TINYINT), 15.0D, 48.0D, 600000.0D),"
-                " equi7_zone_tile_key(15.0D, 48.0D, 600000.0D)"
+            # Probe through the SAME column-typed wrappers the queries
+            # use, with the adversarial dtypes a plain (non-Arrow)
+            # session produces (bigint zc, bigint lon/lat) — a literal
+            # CAST probe once passed while real queries crashed on a
+            # Long->Byte ClassCastException. Feature-detection must fail
+            # safe to the Column-Vincenty fallback, never pass-then-crash.
+            probe = spark.range(1).select(
+                F.lit(3).cast("bigint").alias("zc"),
+                F.lit(15).cast("bigint").alias("lon"),
+                F.lit(48).cast("bigint").alias("lat"),
+            )
+            row = probe.select(
+                tile_key_col(F.col("zc"), F.col("lon"), F.col("lat"), 600000.0),
+                zone_tile_key_col(F.col("lon"), F.col("lat"), 600000.0),
+                xy_col(F.col("zc"), F.col("lon"), F.col("lat")),
             ).collect()
-            ok = row[0][0] is not None and row[0][1] is not None
+            ok = all(v is not None for v in row[0])
         except Exception:
             ok = False
     _KERNEL_STATE[key] = ok
@@ -72,11 +84,26 @@ def kernel_available(spark: SparkSession) -> bool:
 
 
 def tile_key_col(zc: Column, lon: Column, lat: Column, tile_size: float) -> Column:
-    return F.call_udf("equi7_tile_key", zc, lon, lat, F.lit(float(tile_size)))
+    # The kernel boundary owns its types: registerJavaFunction performs
+    # no input coercion, so a bigint zc reaches UDF4<Byte,...> as a Long
+    # and throws ClassCastException at runtime. Cast defensively here
+    # (and in xy_col) rather than trusting every call site's inference.
+    return F.call_udf(
+        "equi7_tile_key",
+        zc.cast("tinyint"),
+        lon.cast("double"),
+        lat.cast("double"),
+        F.lit(float(tile_size)),
+    )
 
 
 def zone_tile_key_col(lon: Column, lat: Column, tile_size: float) -> Column:
-    return F.call_udf("equi7_zone_tile_key", lon, lat, F.lit(float(tile_size)))
+    return F.call_udf(
+        "equi7_zone_tile_key",
+        lon.cast("double"),
+        lat.cast("double"),
+        F.lit(float(tile_size)),
+    )
 
 
 def unpack_zc(ztkey: Column) -> Column:
@@ -84,7 +111,7 @@ def unpack_zc(ztkey: Column) -> Column:
 
 
 def xy_col(zc: Column, lon: Column, lat: Column) -> Column:
-    return F.call_udf("equi7_xy", zc, lon, lat)
+    return F.call_udf("equi7_xy", zc.cast("tinyint"), lon.cast("double"), lat.cast("double"))
 
 
 def unpack_tx(tkey: Column) -> Column:

@@ -1546,7 +1546,17 @@ def q_warp_raster_to_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_max": extent[2], "y_max": extent[3], "nodata": float(nodata),
     }])
     out = resample_to_equi7_tiles(
-        spark.createDataFrame(pdf), "T6", 1000.0, resampling="bilinear"
+        spark.createDataFrame(
+            pdf,
+            schema=(
+                "image_id string, bytes binary, fmt string, dtype string,"
+                " w int, h int, crs string, x_min double, y_min double,"
+                " x_max double, y_max double, nodata double"
+            ),
+        ),
+        "T6",
+        1000.0,
+        resampling="bilinear",
     )
     return out.select("image_id", "subgrid", "tilename", "n_valid").orderBy("tilename")
 
@@ -1581,7 +1591,12 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = assigned.select(
         F.col("vec_id").alias("cid"), F.col("cell").alias("ccell"), F.col("v").alias("cv")
     )
-    j = q.join(c, (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("cid")))
+    # Broadcast the 10-row query side: unpinned, this join shuffles BOTH
+    # sides on an 8-value `cell` key (guaranteed skew at scale); pinned,
+    # the candidate side streams map-side with zero shuffle.
+    j = F.broadcast(q).join(
+        c, (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("cid"))
+    )
     qv, cv = F.col("qv"), F.col("cv")
     cos = F.try_divide(
         _hof_dot(qv, cv), F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
