@@ -216,7 +216,14 @@ def measure_scaling(rounds: int = 3, max_extra: int = 4) -> dict:
     return res
 
 
-def run_headline(spark) -> dict[str, float]:
+def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query timings + per-query steal fractions.
+
+    Round-2 lesson: a single whole-pass steal number (3.9% that round)
+    made per-query r1/r2 comparisons unreadable — a steal epoch hitting
+    one query reads as a regression of THAT query. So steal is now
+    measured around each query's min-of-2 window, and a query whose
+    window was stolen above BENCH_STEAL_MAX is re-run (bounded)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -225,18 +232,35 @@ def run_headline(spark) -> dict[str, float]:
     # forks the python workers (the flagship no longer uses any)
     qs["tile_counts_t6"](spark, SF_DIR).count()
     qs["image_decode_stats"](spark, SF_DIR).count()
-    times = {}
+    times, qsteals = {}, {}
     for name in HEADLINE:
         fn = qs[name]
-        best, n = None, 0
-        for _ in range(2):  # min-of-2 absorbs host CPU-steal spikes
-            t0 = time.time()
-            n = fn(spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        best = steal = None
+        n = 0
+        for attempt in range(3):
+            s0, t0 = _cpu_ticks(CPUS)
+            best = None
+            for _ in range(2):  # min-of-2 absorbs sub-window spikes
+                t0w = time.time()
+                n = fn(spark, SF_DIR).count()
+                dt = time.time() - t0w
+                best = dt if best is None else min(best, dt)
+            s1, t1 = _cpu_ticks(CPUS)
+            steal = (s1 - s0) / max(1, t1 - t0)
+            if steal <= STEAL_MAX or attempt == 2:
+                break
+            print(
+                f"# {name}: steal {steal:.1%} > {STEAL_MAX:.0%}, re-running",
+                file=sys.stderr,
+            )
+            time.sleep(30)  # steal epochs last minutes; let it pass
         times[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
-    return times
+        qsteals[name] = round(steal, 4)
+        print(
+            f"# {name}: {n} rows in {times[name]}s (steal {steal:.1%})",
+            file=sys.stderr,
+        )
+    return times, qsteals
 
 
 def main() -> None:
@@ -249,7 +273,7 @@ def main() -> None:
     time.sleep(15)  # settle after the pinned scaling runs
     spark = _session(CPUS, "equi7_bench_headline")
     s0, t0 = _cpu_ticks(CPUS)
-    qtimes = run_headline(spark)
+    qtimes, qsteals = run_headline(spark)
     s1, t1 = _cpu_ticks(CPUS)
     headline_steal = round((s1 - s0) / max(1, t1 - t0), 4)
     spark.stop()
@@ -269,6 +293,7 @@ def main() -> None:
         "scaling_efficiency_n_to_4n": scaling["scaling_efficiency"],
         "scaling_run_steal_fracs": scaling["steal_fracs"],
         "headline_steal_frac": headline_steal,
+        "queries_steal_fracs": qsteals,
     }
     print(json.dumps(out))
 

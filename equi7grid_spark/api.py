@@ -220,7 +220,18 @@ class Equi7Grid:
         cover_land: bool = False,
     ) -> list[Tile]:
         """ROI dispatcher (reference get_overlapping_tiles, warp.py:333-401):
-        exactly one of geog_bbox / roi_geom / (subgrid + xy_bbox)."""
+        exactly one of geog_bbox / roi_geom / (subgrid + xy_bbox).
+
+        ``cover_land=True`` filters on the per-tile ``covers_land`` flag.
+        NOTE: that flag is engine-defined — the reference's
+        land.parquet blob is absent from its own checkout
+        (/root/reference/.MISSING_LARGE_BLOBS:2), so the shipped
+        artifacts carry a deterministic synthetic mask
+        (equi7grid_spark/land.py). To use real land-cover data, set
+        ``EQUI7_LAND_GEOJSON`` to a GeoJSON land-polygon file (e.g. a
+        Natural Earth download) and rebuild the artifacts with
+        scripts/prepare_data.py; the flag's semantics (tile extent
+        intersects land ∩ zone, sampled per tile) are unchanged."""
         given = [g is not None for g in (geog_bbox, roi_geom, xy_bbox)]
         if sum(given) != 1:
             raise ValueError("provide exactly one of geog_bbox, roi_geom, xy_bbox")

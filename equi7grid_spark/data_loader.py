@@ -18,6 +18,32 @@ _PKG_DATA = Path(__file__).parent / "data"
 
 
 @lru_cache(maxsize=None)
+def resource_path(relpath: str) -> str:
+    """Resolve any package-relative resource (e.g. 'jvm/equi7-kernel.jar')
+    to an on-disk path, extracting from a zip import when needed."""
+    direct = Path(__file__).parent / relpath
+    try:
+        if direct.exists():
+            return str(direct)
+    except OSError:
+        pass
+    import importlib.resources as res
+
+    cache = Path(tempfile.gettempdir()) / f"equi7grid_spark_res_{os.getuid()}"
+    out = cache / relpath
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if not out.exists():
+        source = res.files("equi7grid_spark")
+        for part in relpath.split("/"):
+            source = source.joinpath(part)
+        tmp = out.with_suffix(out.suffix + ".tmp")
+        with source.open("rb") as fh:
+            tmp.write_bytes(fh.read())
+        tmp.replace(out)
+    return str(out)
+
+
+@lru_cache(maxsize=None)
 def data_path(name: str) -> str:
     direct = _PKG_DATA / name
     try:

@@ -35,9 +35,22 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-KERNEL_JAR = Path(__file__).resolve().parents[1] / "jvm" / "equi7-kernel.jar"
-
 _KERNEL_STATE: dict[int, bool] = {}
+
+
+def _kernel_jar() -> Path | None:
+    """On-disk jar path; extracts from the package when imported from a
+    --py-files zip (data_loader.resource_path), None if absent."""
+    direct = Path(__file__).resolve().parents[1] / "jvm" / "equi7-kernel.jar"
+    if direct.exists():
+        return direct
+    try:
+        from equi7grid_spark.data_loader import resource_path
+
+        p = Path(resource_path("jvm/equi7-kernel.jar"))
+        return p if p.exists() else None
+    except Exception:
+        return None
 
 
 def kernel_available(spark: SparkSession) -> bool:
@@ -48,9 +61,10 @@ def kernel_available(spark: SparkSession) -> bool:
     if cached is not None:
         return cached
     ok = False
-    if KERNEL_JAR.exists():
+    jar = _kernel_jar()
+    if jar is not None:
         try:
-            spark.sql(f"ADD JAR '{KERNEL_JAR}'")
+            spark.sql(f"ADD JAR '{jar}'")
             spark.udf.registerJavaFunction(
                 "equi7_xy", "equi7.VincentyXY", T.ArrayType(T.DoubleType())
             )

@@ -1402,28 +1402,51 @@ def q_zone_assign_decided_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_tile_assign_decided() -> str:
-    from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
+# SQL tilename from integer T6 tile indices (tx, ty) — shared by every
+# decided-cell tile oracle and the global ROI catalog oracle.
+def _sql_t6_tilename(tx: str, ty: str, subgrid: str) -> str:
+    return f"""{subgrid} || '_E' ||
+           lpad((({tx} * 600000.0)/100000)::INT::VARCHAR, 3, '0') ||
+           (CASE WHEN {ty} * 600000.0 < 0 THEN 'S' ELSE 'N' END) ||
+           lpad(abs(({ty} * 600000.0)/100000)::INT::VARCHAR, 3, '0') ||
+           'T6'"""
 
-    return f"""
-    WITH {_decided_pts_sql()},
-    proj AS ({aeqd_forward_sql("dec")}),
+
+# CTE fragment: relation `proj` (zc, x, y) -> `agg` (zc, tx, ty, n).
+# The GROUP BY is deliberately the FIRST thing above `proj`: it is a
+# pipeline breaker, so DuckDB cannot inline the (huge) layered Vincenty
+# projection tree into the tilename expression's multiple x/y
+# references — pre-aggregation naming made the optimizer flatten the
+# tree once per reference and hang (same class of trap as the
+# CLAUDE.md CSE notes).
+_SQL_T6_KEYED_AGG = """
     keyed AS (
       SELECT zc,
              CAST(floor(x/600000.0) AS BIGINT) AS tx,
              CAST(floor(y/600000.0) AS BIGINT) AS ty
       FROM proj
     ),
-    agg AS (
+    agg AS MATERIALIZED (
       SELECT zc, tx, ty, count(*)::BIGINT AS n FROM keyed GROUP BY zc, tx, ty
     )
-    SELECT {_SQL_SUBGRID} || '_E' ||
-           lpad(((tx * 600000.0)/100000)::INT::VARCHAR, 3, '0') ||
-           (CASE WHEN ty * 600000.0 < 0 THEN 'S' ELSE 'N' END) ||
-           lpad(abs((ty * 600000.0)/100000)::INT::VARCHAR, 3, '0') ||
-           'T6' AS tilename,
+"""
+
+# CTE tail: relation `proj` (zc, x, y) -> per-tile counts
+_SQL_T6_COUNTS_FROM_PROJ = f"""
+    {_SQL_T6_KEYED_AGG}
+    SELECT {_sql_t6_tilename('tx', 'ty', _SQL_SUBGRID)} AS tilename,
            {_SQL_SUBGRID} AS subgrid, n
     FROM agg
+"""
+
+
+def _oracle_tile_assign_decided() -> str:
+    from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
+
+    return f"""
+    WITH {_decided_pts_sql()},
+    proj AS ({aeqd_forward_sql("dec")}),
+    {_SQL_T6_COUNTS_FROM_PROJ}
     """
 
 
@@ -1436,25 +1459,38 @@ def q_tile_assign_decided_t6_counts(spark: SparkSession, sf_dir: str) -> DataFra
     term). Outputs are tile indices/counts — floor-robust against the
     <1e-6 m cross-engine convergence slack — on the decided-cell
     subset (boundary-cell PIP stays rows-only in tile_assign_t6_counts)."""
-    from equi7grid_spark.functions.geodesy_cols import with_aeqd_forward
-    from equi7grid_spark.functions.tiling import tilename
-    from equi7grid_spark.operators import kernel
-    from equi7grid_spark.operators.assign import subgrid_from_code
-
-    ts = 600000.0
     d = _spark_decided_pts(spark, sf_dir).select("zc", "lon", "lat")
-    if kernel.kernel_available(spark):
-        # compiled Vincenty (one call/row, tiny plan) — agrees with the
-        # Column chain < 1e-6 m, far inside the tile-floor margin
-        proj = d.withColumn(
+    return _t6_counts_from_proj(_aeqd_proj(d))
+
+
+def _aeqd_proj(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(zc, lon, lat [+carry]) -> (carry..., zc, x, y). Compiled Vincenty
+    kernel when available (one call/row, tiny plan — agrees with the
+    Column chain < 1e-6 m, far inside the tile-floor margin), else the
+    unrolled Column-Vincenty fallback."""
+    from equi7grid_spark.functions.geodesy_cols import with_aeqd_forward
+    from equi7grid_spark.operators import kernel
+
+    cols = list(carry)
+    if kernel.kernel_available(d.sparkSession):
+        return d.withColumn(
             "_xy", kernel.xy_col(F.col("zc"), F.col("lon"), F.col("lat"))
         ).select(
+            *cols,
             "zc",
             F.element_at("_xy", 1).alias("x"),
             F.element_at("_xy", 2).alias("y"),
         )
-    else:
-        proj = with_aeqd_forward(d, "zc", "lon", "lat", "x", "y", carry=["zc"])
+    return with_aeqd_forward(d, "zc", "lon", "lat", "x", "y", carry=["zc", *cols])
+
+
+def _t6_counts_from_proj(proj: DataFrame) -> DataFrame:
+    """(zc, x, y) -> (tilename, subgrid, n); Spark twin of
+    _SQL_T6_COUNTS_FROM_PROJ."""
+    from equi7grid_spark.functions.tiling import tilename
+    from equi7grid_spark.operators.assign import subgrid_from_code
+
+    ts = 600000.0
     agg = (
         proj.select(
             "zc",
@@ -1491,7 +1527,51 @@ def q_lonlat_roundtrip_maxerr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("roi_search_global_t6", None)
+# Fixed bitmap dimensions covering every zone's T6 index range
+# (ix 0..31, iy -3..20); one 0/1 digit per (zone, ix, iy) cell.
+_ROI_NIX, _ROI_IY0, _ROI_NIY = 32, -3, 24
+
+
+def _oracle_roi_search_global() -> str:
+    """The global-bbox ROI search must return exactly the engine's T6
+    tile catalog (reference golden: 1801 tiles,
+    tests/test_equi7grid.py:293-298). The oracle embeds each zone's
+    membership + covers_land as bitmap strings (same trust model as the
+    decided-cell digit map) and re-derives every tilename / ll_x / ll_y
+    from tile-index arithmetic — so the geometry-clip path is checked
+    value-exactly against catalog data + pure SQL arithmetic."""
+    from equi7grid_spark.catalog import catalog_cells
+
+    per_zone = _ROI_NIX * _ROI_NIY
+    bits, land = [], []
+    for sg in DEFAULT_SYSTEM_ORDER:
+        cells = catalog_cells(sg, "T6")
+        for ix in range(_ROI_NIX):
+            for iy in range(_ROI_IY0, _ROI_IY0 + _ROI_NIY):
+                e = cells.get((ix, iy))
+                bits.append("1" if e else "0")
+                land.append("1" if (e and e[1]) else "0")
+    bits_s, land_s = "".join(bits), "".join(land)
+    n_total = len(DEFAULT_SYSTEM_ORDER) * per_zone
+    sub = f"list_extract(['AF','AN','AS','EU','OC','NA','SA'], (k // {per_zone}) + 1)"
+    ix = f"((k % {per_zone}) // {_ROI_NIY})"
+    iy = f"((k % {per_zone}) % {_ROI_NIY} + {_ROI_IY0})"
+    return f"""
+    WITH e AS (
+      SELECT k, {sub} AS subgrid, {ix} AS ix, {iy} AS iy
+      FROM generate_series(0, {n_total - 1}) AS t(k)
+      WHERE substr('{bits_s}', k + 1, 1) = '1'
+    )
+    SELECT subgrid,
+           {_sql_t6_tilename('ix', 'iy', 'subgrid')} AS tilename,
+           (ix * 600000.0)::DOUBLE AS ll_x,
+           (iy * 600000.0)::DOUBLE AS ll_y,
+           substr('{land_s}', k + 1, 1) = '1' AS covers_land
+    FROM e
+    """
+
+
+@register("roi_search_global_t6", _oracle_roi_search_global)
 def q_roi_search_global_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.roi import get_tiles_in_geog_bbox
 
@@ -1642,3 +1722,129 @@ def q_images_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.approx_count_distinct("tilename").alias("approx_tiles"),
     ).orderBy("subgrid")
+
+
+# ---------------------------------------------------------------------------
+# value-oracled twins of the image pipelines (round 3): the synthetic
+# image locations are pure splitmix64 arithmetic, mirrored bit-for-bit
+# in DuckDB SQL (functions/images_sql), so the decided-cell subset of
+# the image->tile pipeline gets the same exact oracle treatment as the
+# customer-derived flagship. The full-PIP variants above stay rows-only
+# (boundary-cell point-in-polygon is not SQL-expressible).
+# ---------------------------------------------------------------------------
+
+_N_IMG_ORACLE = 20000
+
+
+def _spark_decided_images(spark: SparkSession) -> DataFrame:
+    """Decided-cell subset of the synthetic images table (zc 0..6
+    resolved by the broadcast cell map alone; boundary cells dropped)."""
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.operators.assign_jvm import cell_id_col, cell_map_df
+
+    imgs = synthetic_images(spark, _N_IMG_ORACLE, with_bytes=False).select(
+        "image_id", "lon", "lat"
+    )
+    d = imgs.withColumn("__cell", cell_id_col(F.col("lon"), F.col("lat")))
+    cells = cell_map_df(spark).withColumnRenamed("cell_id", "__cell")
+    return (
+        d.join(F.broadcast(cells), "__cell")
+        .filter(F.col("zc") >= 0)
+        .drop("__cell")
+    )
+
+
+def _sql_decided_images() -> str:
+    """CTE chain ending in `dec` (img_id, lon, lat, zc): SQL twin of
+    _spark_decided_images."""
+    from equi7grid_spark.functions.geodesy_sql import (
+        cell_id_sql,
+        decided_digit_string,
+    )
+    from equi7grid_spark.functions.images_sql import synthetic_lonlat_sql
+
+    digits = decided_digit_string()
+    return f"""
+    {synthetic_lonlat_sql(_N_IMG_ORACLE)},
+    coded AS (
+      SELECT img_id, lon, lat,
+             CAST(substr('{digits}', {cell_id_sql()} + 1, 1) AS TINYINT) AS zc
+      FROM img
+    ),
+    dec AS (SELECT * FROM coded WHERE zc <= 6)
+    """
+
+
+def _oracle_images_tile_assign_decided() -> str:
+    from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
+
+    return f"""
+    WITH {_sql_decided_images()},
+    proj AS ({aeqd_forward_sql("dec")}),
+    {_SQL_T6_COUNTS_FROM_PROJ}
+    """
+
+
+@register("images_tile_assign_decided", _oracle_images_tile_assign_decided)
+def q_images_tile_assign_decided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image geotagging under a value-exact oracle: splitmix64 location
+    synthesis (SQL mirror in functions/images_sql) -> decided-cell zone
+    resolve -> AEQD forward -> per-T6-tile counts."""
+    return _t6_counts_from_proj(_aeqd_proj(_spark_decided_images(spark)))
+
+
+_IMG_ROI_BBOX = (0.0, 40.0, 30.0, 55.0)
+
+
+def _oracle_images_in_roi_decided() -> str:
+    from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
+    from equi7grid_spark.roi import get_tiles_in_geog_bbox
+
+    names = ", ".join(
+        f"'{t.tilename}'" for t in get_tiles_in_geog_bbox(_IMG_ROI_BBOX, "T6")
+    )
+    return f"""
+    WITH {_sql_decided_images()},
+    proj AS ({aeqd_forward_sql("dec")}),
+    {_SQL_T6_KEYED_AGG},
+    cnt AS (
+      SELECT {_sql_t6_tilename('tx', 'ty', _SQL_SUBGRID)} AS tilename,
+             {_SQL_SUBGRID} AS subgrid, n
+      FROM agg
+    )
+    SELECT subgrid, tilename, n AS n_images
+    FROM cnt WHERE tilename IN ({names})
+    """
+
+
+@register("images_in_roi_decided", _oracle_images_in_roi_decided)
+def q_images_in_roi_decided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROI-filtered image selection under a value-exact oracle: the
+    broadcast semi-join against the ROI tile list, on the decided-cell
+    subset so DuckDB reproduces every count (the full-PIP variant
+    images_in_roi stays rows-only)."""
+    from equi7grid_spark.functions.tiling import tilename
+    from equi7grid_spark.operators.assign import subgrid_from_code
+    from equi7grid_spark.roi import get_tiles_in_geog_bbox
+
+    ts = 600000.0
+    proj = _aeqd_proj(_spark_decided_images(spark))
+    sub = subgrid_from_code(F.col("zc"))
+    named = proj.select(
+        sub.alias("subgrid"),
+        tilename(
+            sub,
+            F.floor(F.col("x") / ts).cast("long") * ts,
+            F.floor(F.col("y") / ts).cast("long") * ts,
+            "T6",
+        ).alias("tilename"),
+    )
+    roi_tiles = get_tiles_in_geog_bbox(_IMG_ROI_BBOX, "T6")
+    tiles_df = spark.createDataFrame(
+        [(t.subgrid, t.tilename) for t in roi_tiles],
+        "subgrid string, tilename string",
+    )
+    sel = named.join(F.broadcast(tiles_df), ["subgrid", "tilename"], "left_semi")
+    return sel.groupBy("subgrid", "tilename").agg(
+        F.count(F.lit(1)).alias("n_images")
+    )
