@@ -307,3 +307,63 @@ def simhash_near_dups(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# image near-dup: perceptual-hash (phash) hamming dedup
+# ---------------------------------------------------------------------------
+
+def phash_near_dup(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """EXACT near-duplicate image pairs by perceptual-hash hamming
+    distance: (id_a, id_b, hamming) with id_a < id_b and
+    hamming <= max_hamming.
+
+    Banded multi-index (the standard web-scale image-dedup shape): the
+    64-bit phash splits into `n_bands` 16-bit bands; by pigeonhole any
+    pair within hamming <= n_bands-1 agrees on at least one whole band,
+    so a self-join on (band_idx, band_val) finds EVERY qualifying pair
+    — this is exact recall, not approximate LSH. Scale: the only
+    shuffle is on 16-bit band values (uniform for real phashes;
+    ~n^2/2^17 candidate pairs per band), never an all-pairs product;
+    the hamming verify (one xor + popcount) runs only on candidates.
+
+    Requires max_hamming <= n_bands - 1 for the pigeonhole guarantee.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {n_bands - 1} bands for "
+            "exact recall (pigeonhole)"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    p = F.col(phash_col)
+    bands = F.array(
+        *[F.shiftrightunsigned(p, i * width).bitwiseAND(F.lit(mask)) for i in range(n_bands)]
+    )
+    e = imgs.select(
+        F.col(id_col).alias("id"), p.alias("ph"), F.posexplode(bands)
+    ).select("id", "ph", F.col("pos").alias("band_idx"), F.col("col").alias("band_val"))
+    a = e.select(
+        F.col("id").alias("id_a"), F.col("ph").alias("ph_a"), "band_idx", "band_val"
+    )
+    b = e.select(
+        F.col("id").alias("id_b"), F.col("ph").alias("ph_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()  # a pair can agree on several bands
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

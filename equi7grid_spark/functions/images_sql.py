@@ -74,9 +74,10 @@ def _u01(h: str) -> str:
 
 
 def synthetic_lonlat_sql(n: int, seed: int = 42) -> str:
-    """CTE body `img`: (img_id BIGINT, lon DOUBLE, lat DOUBLE) for the
-    first `n` rows of images.synthetic_images(seed) — value-exact twin
-    of make_batch's location columns."""
+    """CTE body `img`: (img_id BIGINT, phash BIGINT, lon DOUBLE,
+    lat DOUBLE) for the first `n` rows of
+    images.synthetic_images(seed) — value-exact twin of make_batch's
+    phash and location columns."""
     seed_mix = (seed * 0x9E3779B97F4A7C15) % _M64
     bx0 = ", ".join(repr(b[0]) for b in ANCHORS)
     by0 = ", ".join(repr(b[1]) for b in ANCHORS)
@@ -95,7 +96,7 @@ def synthetic_lonlat_sql(n: int, seed: int = 42) -> str:
         "ubox_t", "img_id, h, sm_sel, sm_box", _add64("h", "3"), "sm_lon"
     )
     ulat = _sm_chain(
-        "ulon_t", "img_id, sm_sel, sm_box, sm_lon", _add64("h", "4"), "sm_lat"
+        "ulon_t", "img_id, h, sm_sel, sm_box, sm_lon", _add64("h", "4"), "sm_lat"
     )
     return f"""
     h_t AS ({h}),
@@ -105,6 +106,7 @@ def synthetic_lonlat_sql(n: int, seed: int = 42) -> str:
     ulat_t AS ({ulat}),
     u_t AS (
       SELECT img_id,
+             CAST(h & CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS phash,
              {_u01("sm_sel")} AS u_sel,
              CAST(sm_box % 12 AS INT) AS u_box,
              {_u01("sm_lon")} AS u_lon,
@@ -112,7 +114,7 @@ def synthetic_lonlat_sql(n: int, seed: int = 42) -> str:
       FROM ulat_t
     ),
     img AS MATERIALIZED (
-      SELECT img_id,
+      SELECT img_id, phash,
              CASE WHEN u_sel < {P_ANCHOR!r}
                   THEN list_extract([{bx0}], u_box + 1)
                        + u_lon * (list_extract([{bx1}], u_box + 1)

@@ -1848,3 +1848,86 @@ def q_images_in_roi_decided(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.groupBy("subgrid", "tilename").agg(
         F.count(F.lit(1)).alias("n_images")
     )
+
+
+def _oracle_image_phash_near_dup() -> str:
+    from equi7grid_spark.functions.images_sql import synthetic_lonlat_sql
+
+    return f"""
+    WITH {synthetic_lonlat_sql(_N_IMG_ORACLE)},
+    base AS (
+      SELECT img_id, 'img' || lpad(img_id::VARCHAR, 12, '0') AS id, phash AS ph
+      FROM img
+    ),
+    v1 AS (  -- hamming-1 variant for every 10th image
+      SELECT id || '_v1' AS id, xor(ph, 1::BIGINT << (img_id % 63)::INT) AS ph
+      FROM base WHERE img_id % 10 = 0
+    ),
+    v4 AS (  -- hamming-4 distractor (must be excluded by the threshold)
+      SELECT id || '_v4' AS id,
+             xor(ph, (1::BIGINT << (img_id % 14)::INT)
+                     | (1::BIGINT << (16 + img_id % 14)::INT)
+                     | (1::BIGINT << (32 + img_id % 14)::INT)
+                     | (1::BIGINT << (48 + img_id % 14)::INT)) AS ph
+      FROM base WHERE img_id % 40 = 0
+    ),
+    allv AS (
+      SELECT id, ph FROM base
+      UNION ALL SELECT id, ph FROM v1
+      UNION ALL SELECT id, ph FROM v4
+    ),
+    bands AS (
+      SELECT id, ph, b AS band_idx, (ph >> (b * 16)::INT) & 65535 AS band_val
+      FROM allv, generate_series(0, 3) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.ph AS ph_a, b.ph AS ph_b
+      FROM bands a JOIN bands b USING (band_idx, band_val)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """
+
+
+@register("image_phash_near_dup", _oracle_image_phash_near_dup)
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scale image dedup by perceptual hash: EXACT hamming<=3 pairs
+    via the 4x16-bit banded multi-index (dedup.phash_near_dup — the
+    only shuffle is on 16-bit band values, never all-pairs). The
+    deterministic fixture plants a hamming-1 variant for every 10th
+    image and a hamming-4 distractor for every 40th; the oracle mirrors
+    the synthesis (splitmix64 SQL twin) AND the banded join — both
+    engines must find exactly the planted pairs (random 63-bit phashes
+    collide within hamming<=3 with probability ~2e-13 per pair)."""
+    from equi7grid_spark.dedup import phash_near_dup
+    from equi7grid_spark.images import synthetic_images
+
+    base = (
+        synthetic_images(spark, _N_IMG_ORACLE, with_bytes=False)
+        .select(
+            F.substring("image_id", 4, 12).cast("long").alias("i"),
+            "image_id",
+            "phash",
+        )
+    )
+    # F.shiftleft only takes a literal bit count; column-valued shifts
+    # go through SQL expressions
+    v1 = base.filter(F.col("i") % 10 == 0).select(
+        F.concat("image_id", F.lit("_v1")).alias("image_id"),
+        F.expr("phash ^ shiftleft(1L, CAST(i % 63 AS INT))").alias("phash"),
+    )
+    mask4 = (
+        "shiftleft(1L, CAST(i % 14 AS INT)) | "
+        "shiftleft(1L, CAST(i % 14 AS INT) + 16) | "
+        "shiftleft(1L, CAST(i % 14 AS INT) + 32) | "
+        "shiftleft(1L, CAST(i % 14 AS INT) + 48)"
+    )
+    v4 = base.filter(F.col("i") % 40 == 0).select(
+        F.concat("image_id", F.lit("_v4")).alias("image_id"),
+        F.expr(f"phash ^ ({mask4})").alias("phash"),
+    )
+    allv = base.select("image_id", "phash").unionByName(v1).unionByName(v4)
+    return phash_near_dup(allv, max_hamming=3)

@@ -1,0 +1,37 @@
+"""phash_near_dup: exact-recall banded hamming dedup semantics."""
+
+import pytest
+
+from equi7grid_spark.dedup import phash_near_dup
+
+
+def test_phash_near_dup_exact_recall(spark):
+    base = 0x1234_5678_9ABC_DEF0
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b1),                       # hamming 1 vs a
+        # hamming 3 vs a, one flipped bit in each of 3 different bands —
+        # the adversarial case for banding (only ONE band left equal)
+        ("c", base ^ (1 << 0) ^ (1 << 17) ^ (1 << 34)),
+        # hamming 4 vs a, one bit per band: no band equal -> not even a
+        # candidate, and correctly outside the threshold anyway
+        ("d", base ^ (1 << 0) ^ (1 << 17) ^ (1 << 34) ^ (1 << 51)),
+        ("e", 0x0F0F_0F0F_0F0F_0F0F),            # far from everything
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup(df, max_hamming=3).collect()
+    }
+    assert got[("a", "b")] == 1
+    assert got[("a", "c")] == 3
+    # b^c = (1<<17)^(1<<34): the bit-0 flips cancel -> hamming 2
+    assert got[("b", "c")] == 2
+    assert ("a", "d") not in got  # hamming 4 excluded
+    assert all("e" not in pair for pair in got)
+
+
+def test_phash_near_dup_threshold_guard(spark):
+    df = spark.createDataFrame([("a", 1)], "image_id string, phash long")
+    with pytest.raises(ValueError):
+        phash_near_dup(df, max_hamming=4, n_bands=4)
