@@ -99,6 +99,30 @@ def main() -> None:
         plan_of(dec),
     ))
 
+    ph = queries()["image_phash_near_dup"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Image phash near-dup (banded hamming multi-index, round 3)",
+        "4x16-bit bands posexplode to (band_idx, band_val) keys; the "
+        "self-join keys ONLY on those 16-bit band values (at this toy "
+        "input AQE builds a broadcast; at scale both sides are the "
+        "full image set and it becomes a shuffle join on uniform "
+        "keys), then xor+popcount verifies candidates. Exact recall "
+        "for hamming<=3 by pigeonhole; no all-pairs product at any "
+        "scale.",
+        plan_of(ph),
+    ))
+
+    roi_dec = queries()["images_in_roi_decided"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Image ROI selection, decided subset (round-3 oracled pipeline)",
+        "Synthesis (mapInPandas) → broadcast cell-map zone resolve → "
+        "compiled-kernel AEQD → broadcast semi-join against the ROI "
+        "tile list → agg: the ROI list is catalog-sized so the "
+        "semi-join is BroadcastHashJoin(LeftSemi); one aggregation "
+        "shuffle total.",
+        plan_of(roi_dec),
+    ))
+
     # partition pruning on the iceberg-lite sink layout
     from equi7grid_spark.table.manifest import IcebergLiteTable
 
