@@ -208,3 +208,122 @@ def sample_video_frames(video: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return video.select("video_id", "bytes", "fmt", "w", "h").mapInPandas(go, schema=schema)
+
+
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    """Orthonormal 32-point DCT-II basis (float64, deterministic)."""
+    global _DCT32
+    if _DCT32 is None:
+        n = np.arange(32)
+        k = np.arange(32)[:, None]
+        c = np.sqrt(2.0 / 32) * np.cos(np.pi * (2 * n[None, :] + 1) * k / 64.0)
+        c[0] *= 1.0 / np.sqrt(2.0)
+        _DCT32 = c
+    return _DCT32
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit perceptual hash of one grayscale image: NN-resample to
+    32x32, 2D DCT-II, keep the 8x8 low-frequency block, threshold every
+    coefficient at the median of the 63 non-DC coefficients. Calibrated
+    on the engine codecs: q8 requantization (~2 LSB) moves the hash by
+    <=2 bits while distinct synthetic images differ by >=12
+    (tests/test_phash_dedup.py)."""
+    h2, w2 = arr.shape
+    ri = np.minimum((np.arange(32) * h2) // 32, h2 - 1)
+    ci = np.minimum((np.arange(32) * w2) // 32, w2 - 1)
+    a = arr[ri[:, None], ci[None, :]].astype(np.float64)
+    c = _dct32()
+    block = (c @ a @ c.T)[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = np.flatnonzero(block > med)
+    v = 0
+    for i in bits:
+        v |= 1 << int(i)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def compute_phash(images: DataFrame) -> DataFrame:
+    """(image_id, phash) from pixel content — the input side of
+    dedup.phash_near_dup, completing the bytes -> phash -> banded
+    near-dup image-dedup pipeline.
+
+    Decode is per-row (variable-size binaries); the DCT runs as ONE
+    batched tensor contraction over the whole Arrow batch (the
+    per-image 32x32 resamples stack into (K,32,32) and both DCT
+    matmuls apply batch-wide) — same vectorize-the-kernel shape as the
+    LSH banding pass (queries.py embedding_near_dup)."""
+    schema = "image_id string, phash long"
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = _dct32()
+        grid = np.arange(32)
+        for pdf in batches:
+            k = len(pdf)
+            stack = np.empty((k, 32, 32), dtype=np.float64)
+            it = zip(
+                pdf["bytes"].to_numpy(object),
+                pdf["fmt"].to_numpy(object),
+                pdf["w"].to_numpy(),
+                pdf["h"].to_numpy(),
+            )
+            for i, (b, f, w, h) in enumerate(it):
+                arr = decode(b, f, int(w), int(h))
+                h2, w2 = arr.shape
+                ri = np.minimum((grid * h2) // 32, h2 - 1)
+                ci = np.minimum((grid * w2) // 32, w2 - 1)
+                stack[i] = arr[ri[:, None], ci[None, :]]
+            # batched 2D DCT: (K,32,32) -> (K,8,8) low-frequency blocks.
+            # Same contraction ORDER as the scalar phash64 (c @ a @ c.T)
+            # so both paths agree bit-for-bit even on knife-edge
+            # median comparisons.
+            d = np.matmul(np.matmul(c[None, :, :], stack), c.T[None, :, :])
+            blocks = d[:, :8, :8].reshape(k, 64)
+            med = np.median(blocks[:, 1:], axis=1)
+            bits = blocks > med[:, None]
+            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            ph = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(object),
+                    "phash": ph.astype(np.int64),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        go, schema=schema
+    )
+
+
+def transcode_images(images: DataFrame, out_fmt: str) -> DataFrame:
+    """Re-encode every image to `out_fmt` at its native size (decode ->
+    encode; q8 is the lossy path, ~2 LSB). Pixel dims pass through."""
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=object)
+            it = zip(
+                pdf["bytes"].to_numpy(object),
+                pdf["fmt"].to_numpy(object),
+                pdf["w"].to_numpy(),
+                pdf["h"].to_numpy(),
+            )
+            for i, (b, f, w, h) in enumerate(it):
+                out[i] = encode(decode(b, f, int(w), int(h)), out_fmt)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(object),
+                    "bytes": out,
+                    "w": pdf["w"].to_numpy(np.int32),
+                    "h": pdf["h"].to_numpy(np.int32),
+                    "fmt": np.full(len(pdf), out_fmt, dtype=object),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        go, schema=schema
+    )

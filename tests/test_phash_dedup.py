@@ -35,3 +35,45 @@ def test_phash_near_dup_threshold_guard(spark):
     df = spark.createDataFrame([("a", 1)], "image_id string, phash long")
     with pytest.raises(ValueError):
         phash_near_dup(df, max_hamming=4, n_bands=4)
+
+
+def test_phash64_scalar_vs_batched_parity(spark):
+    import numpy as np
+
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.operators.multimodal import compute_phash, phash64
+    from equi7grid_spark.warp.codecs import decode
+
+    imgs = synthetic_images(spark, 64, with_bytes=True)
+    rows = imgs.select("image_id", "bytes", "fmt", "w", "h").collect()
+    got = {
+        r.image_id: r.phash for r in compute_phash(imgs).collect()
+    }
+    for r in rows:
+        arr = decode(bytes(r.bytes), r.fmt, r.w, r.h)
+        assert got[r.image_id] == phash64(arr), r.image_id
+
+
+def test_phash_q8_invariance_vs_cross_separation(spark):
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.operators.multimodal import compute_phash, transcode_images
+
+    imgs = synthetic_images(spark, 40, with_bytes=True)
+    orig = {r.image_id: r.phash for r in compute_phash(imgs).collect()}
+    requant = {
+        r.image_id: r.phash
+        for r in compute_phash(transcode_images(imgs, "q8")).collect()
+    }
+    for iid, p in orig.items():
+        # mask to 64 bits: Python xor of signed longs is infinite
+        # two's-complement, bin() of a negative shows magnitude bits
+        assert bin((p ^ requant[iid]) & ((1 << 64) - 1)).count("1") <= 3, iid
+
+
+def test_image_phash_pipeline_end_to_end(spark):
+    from equi7grid_spark.queries import q_image_phash_pipeline
+
+    row = q_image_phash_pipeline(spark, "unused").collect()[0]
+    assert row.n_planted_refound >= 295          # 300 planted q8 pairs
+    assert row.n_pairs - row.n_planted_refound < 50  # content near-dups only
+    assert row.max_hamming <= 3
