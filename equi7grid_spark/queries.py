@@ -69,11 +69,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _derived_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from equi7grid_spark.operators.partitioning import spread_small_input
-
-    li = spread_small_input(
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    )
+    # Deliberately NOT spread_small_input'd: every consumer of the xy
+    # derivation is cheap tile algebra (format/parse/rc2xy/floor-agg —
+    # no Vincenty, no HOFs, no pandas), so the few-partition scan
+    # out-runs the repartition exchange 2-4x at bench scale (A/B
+    # measured r3: tile_counts 1.9s->0.45s, knn 1.6s->0.77s). The
+    # geodesic derivation (_derived_lonlat) keeps the spread — its
+    # consumers run the unrolled Vincenty chain per row. At real scale
+    # inputs carry many partitions and both choices converge.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
     x = ((key * 1664525 + 1013904223) % 8400000).cast("double")
     y = (((key * 22695477 + 12345) % 10200000) - 1800000).cast("double")
