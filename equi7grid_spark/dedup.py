@@ -346,7 +346,9 @@ def phash_near_dup(
     bands = F.array(
         *[F.shiftrightunsigned(p, i * width).bitwiseAND(F.lit(mask)) for i in range(n_bands)]
     )
-    e = imgs.select(
+    # NULL ids/hashes can't participate in pairing — drop them
+    # explicitly rather than letting the join silently eat them
+    e = imgs.filter(p.isNotNull() & F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"), p.alias("ph"), F.posexplode(bands)
     ).select("id", "ph", F.col("pos").alias("band_idx"), F.col("col").alias("band_val"))
     a = e.select(

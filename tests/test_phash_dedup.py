@@ -77,3 +77,43 @@ def test_image_phash_pipeline_end_to_end(spark):
     assert row.n_planted_refound >= 295          # 300 planted q8 pairs
     assert row.n_pairs - row.n_planted_refound < 50  # content near-dups only
     assert row.max_hamming <= 3
+
+
+def test_phash_near_dup_matches_bruteforce(spark):
+    """Exact-recall property: the banded join must equal the O(n^2)
+    brute force on a seeded population of random hashes plus planted
+    <=3-bit perturbations."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(0, 1 << 63, size=150, dtype=np.int64).tolist()
+    rows = [(f"r{i:03d}", int(h)) for i, h in enumerate(hashes)]
+    # planted perturbations of 1..3 bits (positions random, incl. >=48)
+    for i in range(0, 150, 5):
+        nbits = 1 + (i // 5) % 3
+        mask = 0
+        while bin(mask).count("1") < nbits:
+            mask |= 1 << int(rng.integers(0, 63))
+        rows.append((f"r{i:03d}v", int(np.int64(hashes[i] ^ mask))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup(df, max_hamming=3).collect()
+    }
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, pa), (ib, pb) = rows[i], rows[j]
+            d = bin((pa ^ pb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                a, b = sorted((ia, ib))
+                brute.add((a, b, d))
+    assert got == brute
+    assert len(brute) >= 30  # the planted pairs are actually there
+
+
+def test_phash_near_dup_null_rows_dropped(spark):
+    rows = [("a", 5), ("b", 5), (None, 5), ("c", None)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = phash_near_dup(df).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [("a", "b", 0)]
