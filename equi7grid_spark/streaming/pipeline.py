@@ -202,3 +202,130 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+_PHASH_OUT_SCHEMA = "id_a string, id_b string, hamming int"
+_PHASH_STATE_SCHEMA = "ids array<string>, phs array<long>, tss array<long>"
+
+
+def streaming_phash_near_dup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str = "image_id string, ts timestamp, phash long",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator #2: continuous near-duplicate
+    image detection over a stream of perceptual hashes
+    (the streaming twin of dedup.phash_near_dup).
+
+    Shape: the 64-bit phash explodes JVM-side into n_bands 16-bit band
+    keys; state lives PER (band_idx, band_val) bucket
+    (applyInPandasWithState) and holds the bucket's hashes seen within
+    the watermark horizon — so state is bounded by horizon x bucket
+    occupancy, never the full history, and the shuffle keys on 16-bit
+    band values exactly like the batch operator. Every arriving hash
+    compares only against its own bucket (the pigeonhole property
+    makes that exact for hamming <= n_bands-1 within the horizon).
+
+    Exactly-once pair emission WITHOUT cross-group coordination: a pair
+    agreeing on several bands would be emitted by several groups, so
+    each group emits only if ITS band index is the LOWEST band on which
+    the two hashes agree (both full hashes are in hand; the check is
+    pure arithmetic).
+
+    Matches older->newer within the horizon; pairs whose members arrive
+    farther apart than the watermark are not emitted (documented
+    horizon semantics, same contract as streaming_dedup)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    width = 64 // n_bands
+    mask_band = (1 << width) - 1
+    mask64 = (1 << 64) - 1
+    horizon_us = _duration_us(watermark)
+
+    def min_matching_band(pa: int, pb: int) -> int:
+        ua, ub = pa & mask64, pb & mask64
+        for i in range(n_bands):
+            if (ua >> (i * width)) & mask_band == (ub >> (i * width)) & mask_band:
+                return i
+        return -1
+
+    def fn(key, pdfs, state):
+        band_idx = int(key[0])
+        out_a, out_b, out_h = [], [], []
+        if state.hasTimedOut:
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            if len(rows):
+                rows = rows.sort_values(["ts", "image_id"])
+                ids = list(state.get[0]) if state.exists else []
+                phs = list(state.get[1]) if state.exists else []
+                tss = list(state.get[2]) if state.exists else []
+                ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+                for rid, rph, rts in zip(
+                    rows["image_id"].tolist(), rows["phash"].tolist(), ts_us.tolist()
+                ):
+                    lo = rts - horizon_us
+                    for oid, oph, ots in zip(ids, phs, tss):
+                        if ots < lo or oid == rid:
+                            continue
+                        d = bin((rph ^ oph) & mask64).count("1")
+                        if d <= max_hamming and min_matching_band(rph, oph) == band_idx:
+                            a, b = sorted((rid, oid))
+                            out_a.append(a)
+                            out_b.append(b)
+                            out_h.append(d)
+                    ids.append(rid)
+                    phs.append(int(rph))
+                    tss.append(int(rts))
+                # prune to the horizon behind the newest event
+                newest = max(tss)
+                keep = [i for i, t in enumerate(tss) if t >= newest - horizon_us]
+                state.update((
+                    [ids[i] for i in keep],
+                    [phs[i] for i in keep],
+                    [tss[i] for i in keep],
+                ))
+                state.setTimeoutTimestamp(newest // 1000 + horizon_us // 1000)
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": np.array(out_h, dtype="int32")})
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    p = F.col("phash")
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(p, i * width).bitwiseAND(F.lit(mask_band))
+            for i in range(n_bands)
+        ]
+    )
+    exploded = stream.select(
+        "image_id", "ts", "phash", F.posexplode(bands)
+    ).select(
+        "image_id", "ts", "phash",
+        F.col("pos").alias("band_idx"), F.col("col").alias("band_val"),
+    )
+    return (
+        exploded.withWatermark("ts", watermark)
+        .groupBy("band_idx", "band_val")
+        .applyInPandasWithState(
+            fn,
+            _PHASH_OUT_SCHEMA,
+            _PHASH_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_us(spec: str) -> int:
+    n, unit = spec.split()
+    scale = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+    }[unit]
+    return int(n) * scale

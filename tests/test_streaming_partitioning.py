@@ -179,3 +179,52 @@ def test_assignment_preserves_captions_and_pixels(spark):
         a = decode(bytes(r["bytes"]), r["fmt"], r["w"], r["h"])
         b = decode(bytes(s["bytes"]), s["fmt"], s["w"], s["h"])
         assert np.array_equal(a, b)
+
+
+def test_streaming_phash_near_dup_matches_batch(spark, tmp_path):
+    """The stateful streaming near-dup must emit exactly the batch
+    operator's pairs (all input rows land inside one watermark
+    horizon), each pair exactly once despite multi-band agreement."""
+    import numpy as np
+
+    from equi7grid_spark.dedup import phash_near_dup
+    from equi7grid_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_phash_near_dup,
+    )
+
+    rng = np.random.default_rng(11)
+    hashes = rng.integers(0, 1 << 63, size=120, dtype=np.int64).tolist()
+    rows = [(f"s{i:03d}", int(h)) for i, h in enumerate(hashes)]
+    for i in range(0, 120, 6):
+        nbits = 1 + (i // 6) % 3
+        mask = 0
+        while bin(mask).count("1") < nbits:
+            mask |= 1 << int(rng.integers(0, 63))
+        rows.append((f"s{i:03d}v", int(np.int64(hashes[i] ^ mask))))
+    # identical-hash pair: agrees on ALL bands -> single emission check
+    rows.append(("twin0", int(hashes[1])))
+
+    batch_df = spark.createDataFrame(rows, "image_id string, phash long")
+    expected = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup(batch_df, max_hamming=3).collect()
+    }
+
+    src = str(tmp_path / "phash_stream")
+    ts_rows = [
+        (iid, f"2026-01-01 10:{i // 60:02d}:{i % 60:02d}", ph)
+        for i, (iid, ph) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        ts_rows, "image_id string, ts_s string, phash long"
+    ).selectExpr(
+        "image_id", "CAST(ts_s AS TIMESTAMP) AS ts", "phash"
+    ).write.parquet(src)
+
+    out = streaming_phash_near_dup(spark, src, watermark="1 hour")
+    run_available_now(out, str(tmp_path / "ck_ph"), "stream_phash_pairs")
+    got_rows = spark.sql("select * from stream_phash_pairs").collect()
+    got = [(r.id_a, r.id_b, r.hamming) for r in got_rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == expected
