@@ -96,10 +96,20 @@ _SQL_DERIVED_XY = """
 """
 
 
-def _derived_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derived_lonlat(
+    spark: SparkSession, sf_dir: str, *, spread: bool = True
+) -> DataFrame:
+    """spread=True parallelizes the small customer scan before
+    EXPENSIVE per-row work (Python-UDF PIP, the unrolled Column
+    Vincenty fallback, the inverse-projection UDF). Kernel-path
+    consumers pass spread=False: one compiled call per row is cheaper
+    than the repartition exchange (A/B r3: flagship 1.6s -> 0.55s).
+    At real scale inputs carry many partitions and both converge."""
     from equi7grid_spark.operators.partitioning import spread_small_input
 
-    c = spread_small_input(_t(spark, sf_dir, "customer").select("c_custkey"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    if spread:
+        c = spread_small_input(c)
     lon = ((F.col("c_custkey") * 9973) % 36000) / 100.0 - 180.0
     lat = ((F.col("c_custkey") * 7919) % 17800) / 100.0 - 89.0
     return c.select(
@@ -1315,7 +1325,8 @@ def q_top_customers_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone_assign_counts; this one stays SQL-pure.)"""
     from pyspark.sql import Window
 
-    pts = _derived_lonlat(spark, sf_dir)
+    # pts contributes only pt_id here (no per-row geo work) — no spread
+    pts = _derived_lonlat(spark, sf_dir, spread=False)
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
     j = pts.join(spend, pts["pt_id"] == spend["o_custkey"]).select("pt_id", "total")
@@ -1328,7 +1339,7 @@ def q_top_customers_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_zone_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
 
-    pts = _derived_lonlat(spark, sf_dir)
+    pts = _derived_lonlat(spark, sf_dir, spread=False)
     out = assign_tiles_jvm(pts, tiling_id="T6")
     return out.groupBy("subgrid").agg(F.count(F.lit(1)).alias("n")).orderBy("subgrid")
 
@@ -1340,7 +1351,7 @@ def q_tile_assign_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas path is pinned by tests/test_assign_jvm.py."""
     from equi7grid_spark.operators.assign_jvm import tile_counts_jvm
 
-    pts = _derived_lonlat(spark, sf_dir)
+    pts = _derived_lonlat(spark, sf_dir, spread=False)
     return tile_counts_jvm(pts, tiling_id="T6").select("subgrid", "tilename", "n")
 
 
@@ -1378,7 +1389,7 @@ def _spark_decided_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     only prefilter-decided rows (zc 0..6). Zero Python, zero shuffles."""
     from equi7grid_spark.operators.assign_jvm import cell_id_col, cell_map_df
 
-    pts = _derived_lonlat(spark, sf_dir)
+    pts = _derived_lonlat(spark, sf_dir, spread=False)
     d = pts.withColumn("__cell", cell_id_col(F.col("lon"), F.col("lat")))
     cells = cell_map_df(spark).withColumnRenamed("cell_id", "__cell")
     return (
