@@ -111,6 +111,24 @@ def spark_flows() -> None:
     else:
         print(f"(skipping documents flows: no fixtures at {sf})")
 
+    # -- image near-dup dedup (round 3): pixels -> perceptual hash ->
+    #    exact banded hamming pairs
+    from equi7grid_spark.dedup import phash_near_dup
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.operators.multimodal import compute_phash, transcode_images
+
+    imgs = synthetic_images(spark, 300, with_bytes=True)
+    lossy = transcode_images(imgs.limit(30), "q8").withColumn(
+        "image_id", F.concat("image_id", F.lit("_q8"))
+    )
+    both = imgs.select("image_id", "bytes", "fmt", "w", "h").unionByName(
+        lossy.select("image_id", "bytes", "fmt", "w", "h")
+    )
+    pairs = phash_near_dup(compute_phash(both), max_hamming=3)
+    n_pairs = pairs.count()
+    assert n_pairs >= 28  # the 30 planted lossy re-encodes dominate
+    print(f"image near-dup pairs found: {n_pairs}")
+
     spark.stop()
     print("spark flows: OK")
 
