@@ -357,15 +357,16 @@ def phash_near_dup(
     b = e.select(
         F.col("id").alias("id_b"), F.col("ph").alias("ph_b"), "band_idx", "band_val"
     )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ph_a", "ph_b")
-        .distinct()  # a pair can agree on several bands
-    )
+    cand = a.join(b, ["band_idx", "band_val"]).filter(F.col("id_a") < F.col("id_b"))
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return (
+        # hamming-verify BEFORE the dedup shuffle: most band collisions
+        # are random 16-bit matches far above the threshold, so the
+        # distinct only shuffles true pairs (a pair agreeing on several
+        # bands appears once per band — hamming is deterministic per
+        # pair, so filter-then-distinct equals distinct-then-filter)
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

@@ -96,6 +96,16 @@ _SQL_DERIVED_XY = """
 """
 
 
+def _spread_unless_kernel(spark: SparkSession) -> bool:
+    """The spread decision must follow the RUNTIME projection path: on
+    a kernel-less session (jar absent/unloadable) the decided queries
+    fall back to the unrolled Column Vincenty — exactly the expensive
+    per-row work spread_small_input exists for."""
+    from equi7grid_spark.operators import kernel
+
+    return not kernel.kernel_available(spark)
+
+
 def _derived_lonlat(
     spark: SparkSession, sf_dir: str, *, spread: bool = True
 ) -> DataFrame:
@@ -1351,7 +1361,7 @@ def q_tile_assign_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas path is pinned by tests/test_assign_jvm.py."""
     from equi7grid_spark.operators.assign_jvm import tile_counts_jvm
 
-    pts = _derived_lonlat(spark, sf_dir, spread=False)
+    pts = _derived_lonlat(spark, sf_dir, spread=_spread_unless_kernel(spark))
     return tile_counts_jvm(pts, tiling_id="T6").select("subgrid", "tilename", "n")
 
 
@@ -1389,7 +1399,7 @@ def _spark_decided_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     only prefilter-decided rows (zc 0..6). Zero Python, zero shuffles."""
     from equi7grid_spark.operators.assign_jvm import cell_id_col, cell_map_df
 
-    pts = _derived_lonlat(spark, sf_dir, spread=False)
+    pts = _derived_lonlat(spark, sf_dir, spread=_spread_unless_kernel(spark))
     d = pts.withColumn("__cell", cell_id_col(F.col("lon"), F.col("lat")))
     cells = cell_map_df(spark).withColumnRenamed("cell_id", "__cell")
     return (
@@ -1478,25 +1488,23 @@ def q_tile_assign_decided_t6_counts(spark: SparkSession, sf_dir: str) -> DataFra
     return _t6_counts_from_proj(_aeqd_proj(d))
 
 
-def _aeqd_proj(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
-    """(zc, lon, lat [+carry]) -> (carry..., zc, x, y). Compiled Vincenty
-    kernel when available (one call/row, tiny plan — agrees with the
-    Column chain < 1e-6 m, far inside the tile-floor margin), else the
-    unrolled Column-Vincenty fallback."""
+def _aeqd_proj(d: DataFrame) -> DataFrame:
+    """(zc, lon, lat) -> (zc, x, y). Compiled Vincenty kernel when
+    available (one call/row, tiny plan — agrees with the Column chain
+    < 1e-6 m, far inside the tile-floor margin), else the unrolled
+    Column-Vincenty fallback. Both branches emit the same column order."""
     from equi7grid_spark.functions.geodesy_cols import with_aeqd_forward
     from equi7grid_spark.operators import kernel
 
-    cols = list(carry)
     if kernel.kernel_available(d.sparkSession):
         return d.withColumn(
             "_xy", kernel.xy_col(F.col("zc"), F.col("lon"), F.col("lat"))
         ).select(
-            *cols,
             "zc",
             F.element_at("_xy", 1).alias("x"),
             F.element_at("_xy", 2).alias("y"),
         )
-    return with_aeqd_forward(d, "zc", "lon", "lat", "x", "y", carry=["zc", *cols])
+    return with_aeqd_forward(d, "zc", "lon", "lat", "x", "y", carry=["zc"])
 
 
 def _t6_counts_from_proj(proj: DataFrame) -> DataFrame:
@@ -1878,7 +1886,9 @@ def _oracle_image_phash_near_dup() -> str:
       SELECT id || '_v1' AS id, xor(ph, 1::BIGINT << (img_id % 63)::INT) AS ph
       FROM base WHERE img_id % 10 = 0
     ),
-    v4 AS (  -- hamming-4 distractor (must be excluded by the threshold)
+    v4 AS (  -- hamming-4 vs its base (excluded vs base; when img_id%63
+             -- coincides with one of the four positions, v1^v4 is a
+             -- genuine hamming-3 pair — both engines emit it identically)
       SELECT id || '_v4' AS id,
              xor(ph, (1::BIGINT << (img_id % 14)::INT)
                      | (1::BIGINT << (16 + img_id % 14)::INT)
@@ -1913,10 +1923,12 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the 4x16-bit banded multi-index (dedup.phash_near_dup — the
     only shuffle is on 16-bit band values, never all-pairs). The
     deterministic fixture plants a hamming-1 variant for every 10th
-    image and a hamming-4 distractor for every 40th; the oracle mirrors
-    the synthesis (splitmix64 SQL twin) AND the banded join — both
-    engines must find exactly the planted pairs (random 63-bit phashes
-    collide within hamming<=3 with probability ~2e-13 per pair)."""
+    image and a hamming-4-vs-base distractor for every 40th; the
+    oracle mirrors the synthesis (splitmix64 SQL twin) AND the banded
+    join, so both engines must emit identical pair sets: the planted
+    hamming-1 pairs, plus v1/v4 cross pairs at hamming 3 where the
+    flipped bits coincide (random 63-bit phashes collide within
+    hamming<=3 with probability ~2e-13 per pair, so nothing else)."""
     from equi7grid_spark.dedup import phash_near_dup
     from equi7grid_spark.images import synthetic_images
 

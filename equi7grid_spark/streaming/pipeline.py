@@ -102,7 +102,8 @@ def streaming_sessionize(
 
     def fn(key, pdfs, state):
         user_id = int(key[0])
-        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
         out = []
 
         def emit(start_us: int, last_us: int, n: int, total: float):
@@ -260,7 +261,8 @@ def streaming_phash_near_dup(
         if state.hasTimedOut:
             state.remove()
         else:
-            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            chunks = list(pdfs)
+            rows = pd.concat(chunks) if chunks else pd.DataFrame()
             if len(rows):
                 rows = rows.sort_values(["ts", "image_id"])
                 ids = list(state.get[0]) if state.exists else []
@@ -283,15 +285,24 @@ def streaming_phash_near_dup(
                     ids.append(rid)
                     phs.append(int(rph))
                     tss.append(int(rts))
-                # prune to the horizon behind the newest event
+                # Prune at TWICE the horizon behind the group-local
+                # newest: a future non-late arrival D has
+                # D.ts >= watermark = global_max - horizon, so D can
+                # only pair with entries >= global_max - 2*horizon >=
+                # local_newest - 2*horizon. Pruning at 1x horizon was
+                # wrong — an unrelated hot row in THIS bucket could
+                # evict a member while the lowest-agreeing-band rule
+                # suppressed emission from the bucket that kept it.
                 newest = max(tss)
-                keep = [i for i, t in enumerate(tss) if t >= newest - horizon_us]
+                keep = [i for i, t in enumerate(tss) if t >= newest - 2 * horizon_us]
                 state.update((
                     [ids[i] for i in keep],
                     [phs[i] for i in keep],
                     [tss[i] for i in keep],
                 ))
-                state.setTimeoutTimestamp(newest // 1000 + horizon_us // 1000)
+                # cleared only when every retained entry is dead for
+                # any non-late arrival (watermark >= newest + 2h)
+                state.setTimeoutTimestamp(newest // 1000 + 2 * (horizon_us // 1000))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": np.array(out_h, dtype="int32")})
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
@@ -322,10 +333,18 @@ def streaming_phash_near_dup(
 
 
 def _duration_us(spec: str) -> int:
-    n, unit = spec.split()
+    """CalendarInterval-style duration ("2 days", "1 hour 30 minutes",
+    "500 milliseconds") in microseconds — the same unit words
+    withWatermark accepts."""
     scale = {
-        "second": 1_000_000, "seconds": 1_000_000,
-        "minute": 60_000_000, "minutes": 60_000_000,
-        "hour": 3_600_000_000, "hours": 3_600_000_000,
-    }[unit]
-    return int(n) * scale
+        "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+        "minute": 60_000_000, "hour": 3_600_000_000,
+        "day": 86_400_000_000, "week": 604_800_000_000,
+    }
+    parts = spec.split()
+    if len(parts) < 2 or len(parts) % 2:
+        raise ValueError(f"cannot parse duration {spec!r}")
+    total = 0
+    for n, unit in zip(parts[::2], parts[1::2]):
+        total += int(n) * scale[unit.rstrip("s")]
+    return total
