@@ -1345,7 +1345,21 @@ def q_top_customers_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
-@register("zone_assign_counts", None)
+def _oracle_zone_assign_full() -> str:
+    """FULL-domain zone oracle (round 4): decided cells via the digit
+    map + boundary cells via the exact parity resolve
+    (functions/zones_sql) — no subset, every input row oracled."""
+    from equi7grid_spark.functions.zones_sql import resolve_zone_sql
+
+    return f"""
+    WITH pts AS ({_SQL_DERIVED_LONLAT}),
+    {resolve_zone_sql("pts", "pt_id")}
+    SELECT {_SQL_SUBGRID} AS subgrid, count(*)::BIGINT AS n
+    FROM zoned GROUP BY subgrid ORDER BY subgrid
+    """
+
+
+@register("zone_assign_counts", _oracle_zone_assign_full)
 def q_zone_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
 
@@ -1354,11 +1368,27 @@ def q_zone_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("subgrid").agg(F.count(F.lit(1)).alias("n")).orderBy("subgrid")
 
 
-@register("tile_assign_t6_counts", None)
+def _oracle_tile_assign_full() -> str:
+    """FULL-domain flagship oracle: parity zone resolve + the 6-round
+    unrolled Vincenty mirror + T6 floor keying, over every row."""
+    from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
+    from equi7grid_spark.functions.zones_sql import resolve_zone_sql
+
+    return f"""
+    WITH pts AS ({_SQL_DERIVED_LONLAT}),
+    {resolve_zone_sql("pts", "pt_id")},
+    proj AS ({aeqd_forward_sql("zoned")}),
+    {_SQL_T6_COUNTS_FROM_PROJ}
+    """
+
+
+@register("tile_assign_t6_counts", _oracle_tile_assign_full)
 def q_tile_assign_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship operator on the JVM-only path (broadcast cell map +
     Column Vincenty; operators/assign_jvm) — value-parity with the
-    pandas path is pinned by tests/test_assign_jvm.py."""
+    pandas path is pinned by tests/test_assign_jvm.py. Round 4: now
+    value-oracled over the FULL domain (boundary cells included) via
+    the parity-resolve SQL mirror."""
     from equi7grid_spark.operators.assign_jvm import tile_counts_jvm
 
     pts = _derived_lonlat(spark, sf_dir, spread=_spread_unless_kernel(spark))
@@ -1713,11 +1743,38 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("images_in_roi", None)
+def _oracle_images_in_roi_full() -> str:
+    """FULL-domain image-in-ROI oracle: splitmix64 location synthesis
+    + parity zone resolve + Vincenty mirror + tilename IN roi list."""
+    from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
+    from equi7grid_spark.functions.images_sql import synthetic_lonlat_sql
+    from equi7grid_spark.functions.zones_sql import resolve_zone_sql
+    from equi7grid_spark.roi import get_tiles_in_geog_bbox
+
+    names = ", ".join(
+        f"'{t.tilename}'" for t in get_tiles_in_geog_bbox(_IMG_ROI_BBOX, "T6")
+    )
+    return f"""
+    WITH {synthetic_lonlat_sql(_N_IMG_ORACLE)},
+    {resolve_zone_sql("img", "img_id")},
+    proj AS ({aeqd_forward_sql("zoned")}),
+    {_SQL_T6_KEYED_AGG},
+    cnt AS (
+      SELECT {_sql_t6_tilename('tx', 'ty', _SQL_SUBGRID)} AS tilename,
+             {_SQL_SUBGRID} AS subgrid, n
+      FROM agg
+    )
+    SELECT subgrid, tilename, n AS n_images
+    FROM cnt WHERE tilename IN ({names})
+    """
+
+
+@register("images_in_roi", _oracle_images_in_roi_full)
 def q_images_in_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROI-filtered image selection: tile-assign synthetic images, then
     semi-join against the broadcast ROI tile list (the engine's
-    point-in-ROI query at table scale). Rows-only oracle."""
+    point-in-ROI query at table scale). Round 4: value-oracled over the
+    FULL domain (boundary-cell PIP included) via functions/zones_sql."""
     from equi7grid_spark.images import synthetic_images
     from equi7grid_spark.roi import get_tiles_in_geog_bbox
 
@@ -1725,7 +1782,7 @@ def q_images_in_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = synthetic_images(spark, 20000, with_bytes=False)
     assigned = assign_tiles_jvm(imgs, tiling_id="T6")
-    roi_tiles = get_tiles_in_geog_bbox((0.0, 40.0, 30.0, 55.0), "T6")
+    roi_tiles = get_tiles_in_geog_bbox(_IMG_ROI_BBOX, "T6")
     tiles_df = spark.createDataFrame(
         [(t.subgrid, t.tilename) for t in roi_tiles], "subgrid string, tilename string"
     )
@@ -1733,8 +1790,34 @@ def q_images_in_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.groupBy("subgrid", "tilename").agg(F.count(F.lit(1)).alias("n_images"))
 
 
-@register("images_tile_assign", None)
+def _oracle_images_tile_assign_full() -> str:
+    """FULL-domain per-subgrid image rollup. n_tiles counts distinct
+    (tx, ty) keys per zone — bijective with distinct tilenames within a
+    subgrid, and floor-keyed BEFORE any string building so the huge
+    Vincenty projection is fenced behind the keyed aggregation (the
+    DuckDB planning trap in CLAUDE.md)."""
+    from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
+    from equi7grid_spark.functions.images_sql import synthetic_lonlat_sql
+    from equi7grid_spark.functions.zones_sql import resolve_zone_sql
+
+    return f"""
+    WITH {synthetic_lonlat_sql(_N_IMG_ORACLE)},
+    {resolve_zone_sql("img", "img_id")},
+    proj AS ({aeqd_forward_sql("zoned")}),
+    {_SQL_T6_KEYED_AGG}
+    SELECT {_SQL_SUBGRID} AS subgrid,
+           sum(n)::BIGINT AS n_images,
+           count(*)::BIGINT AS n_tiles
+    FROM agg GROUP BY subgrid ORDER BY subgrid
+    """
+
+
+@register("images_tile_assign", _oracle_images_tile_assign_full)
 def q_images_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subgrid image geotagging rollup, value-oracled over the FULL
+    domain (round 4). n_tiles is an exact distinct count so DuckDB can
+    reproduce it bit-for-bit (at 100 TB approx_count_distinct is the
+    drop-in swap; the decided twin keeps exercising the same plan)."""
     from equi7grid_spark.images import synthetic_images
 
     from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
@@ -1743,7 +1826,7 @@ def q_images_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = assign_tiles_jvm(imgs, tiling_id="T6")
     return out.groupBy("subgrid").agg(
         F.count(F.lit(1)).alias("n_images"),
-        F.approx_count_distinct("tilename").alias("approx_tiles"),
+        F.countDistinct("tilename").alias("n_tiles"),
     ).orderBy("subgrid")
 
 
