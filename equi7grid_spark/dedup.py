@@ -313,12 +313,50 @@ def simhash_near_dups(docs: DataFrame) -> DataFrame:
 # image near-dup: perceptual-hash (phash) hamming dedup
 # ---------------------------------------------------------------------------
 
+def phash_band_occupancy(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Per-(band_idx, band_val) bucket occupancy for phash_near_dup,
+    largest first — the skew audit for degenerate corpora (monochrome/
+    flat/letterboxed images collapse to a handful of phash values, so
+    one band value can hold millions of rows). Run it before a large
+    dedup to size `chunk_size`; the candidate-pair work in a bucket of
+    m rows is ~m^2/2 no matter how it is partitioned."""
+    e = _phash_bands(imgs, id_col, phash_col, n_bands)
+    return (
+        e.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), "band_idx", "band_val")
+    )
+
+
+def _phash_bands(
+    imgs: DataFrame, id_col: str, phash_col: str, n_bands: int
+) -> DataFrame:
+    """(id, ph, band_idx, band_val) — one row per (input row, band).
+    NULL ids/hashes can't participate in pairing — drop them explicitly
+    rather than letting the join silently eat them."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    p = F.col(phash_col)
+    bands = F.array(
+        *[F.shiftrightunsigned(p, i * width).bitwiseAND(F.lit(mask)) for i in range(n_bands)]
+    )
+    return imgs.filter(p.isNotNull() & F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), p.alias("ph"), F.posexplode(bands)
+    ).select("id", "ph", F.col("pos").alias("band_idx"), F.col("col").alias("band_val"))
+
+
 def phash_near_dup(
     imgs: DataFrame,
     id_col: str = "image_id",
     phash_col: str = "phash",
     max_hamming: int = 3,
     n_bands: int = 4,
+    chunk_size: int = 2048,
 ) -> DataFrame:
     """EXACT near-duplicate image pairs by perceptual-hash hamming
     distance: (id_a, id_b, hamming) with id_a < id_b and
@@ -333,6 +371,25 @@ def phash_near_dup(
     ~n^2/2^17 candidate pairs per band), never an all-pairs product;
     the hamming verify (one xor + popcount) runs only on candidates.
 
+    Hot-bucket hardening (round 4): real corpora are degenerate-heavy —
+    one 16-bit band value can hold millions of rows, and a plain
+    self-join enumerates that bucket's ~m^2/2 pairs in ONE task. Every
+    bucket is therefore split into id-range chunks of <= `chunk_size`
+    rows (row_number over the bucket, ordered by id), and each row
+    fans out to its chunk-pair duties: a row in chunk c joins as the
+    LEFT side of chunk pairs (c, j>=c) and the RIGHT side of (i<=c, c).
+    The pair join runs on (band_idx, band_val, i, j), bounding every
+    task to <= chunk_size^2 candidate pairs while preserving exact
+    recall: id-range chunks are monotone in id, so the qualifying
+    orientation id_a < id_b is always generated (for a pair in chunks
+    ca < cb only the (ca, cb) key exists and it has the smaller id on
+    the left; for ca == cb both orientations appear and the filter
+    keeps one). Uniform buckets have one chunk — duties degenerate to
+    the plain (0, 0) self-join with no extra fan-out. The total pair
+    work in a hot bucket is inherent (~m^2/2 for exactness); chunking
+    spreads it over k(k+1)/2 tasks instead of one straggler. AQE
+    skew-join (session.py) remains the backstop for residual imbalance.
+
     Requires max_hamming <= n_bands - 1 for the pigeonhole guarantee.
     """
     if max_hamming > n_bands - 1:
@@ -340,24 +397,37 @@ def phash_near_dup(
             f"max_hamming={max_hamming} needs > {n_bands - 1} bands for "
             "exact recall (pigeonhole)"
         )
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    p = F.col(phash_col)
-    bands = F.array(
-        *[F.shiftrightunsigned(p, i * width).bitwiseAND(F.lit(mask)) for i in range(n_bands)]
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    from pyspark.sql import Window
+
+    e = _phash_bands(imgs, id_col, phash_col, n_bands)
+    bucket = Window.partitionBy("band_idx", "band_val")
+    # chunk index (contiguous id ranges) + chunk count per bucket; the
+    # window is linear per-bucket work (count + row_number), never
+    # quadratic — one exchange, reused by both window functions
+    rn = F.row_number().over(bucket.orderBy("id"))
+    m = F.count(F.lit(1)).over(bucket)
+    e = e.select(
+        "id", "ph", "band_idx", "band_val",
+        F.floor((rn - 1) / chunk_size).alias("_c"),
+        F.floor((m + chunk_size - 1) / chunk_size).alias("_k"),
     )
-    # NULL ids/hashes can't participate in pairing — drop them
-    # explicitly rather than letting the join silently eat them
-    e = imgs.filter(p.isNotNull() & F.col(id_col).isNotNull()).select(
-        F.col(id_col).alias("id"), p.alias("ph"), F.posexplode(bands)
-    ).select("id", "ph", F.col("pos").alias("band_idx"), F.col("col").alias("band_val"))
     a = e.select(
-        F.col("id").alias("id_a"), F.col("ph").alias("ph_a"), "band_idx", "band_val"
+        F.col("id").alias("id_a"), F.col("ph").alias("ph_a"),
+        "band_idx", "band_val",
+        F.col("_c").alias("ci"),
+        F.explode(F.sequence(F.col("_c"), F.col("_k") - 1)).alias("cj"),
     )
     b = e.select(
-        F.col("id").alias("id_b"), F.col("ph").alias("ph_b"), "band_idx", "band_val"
+        F.col("id").alias("id_b"), F.col("ph").alias("ph_b"),
+        "band_idx", "band_val",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_c"))).alias("ci"),
+        F.col("_c").alias("cj"),
     )
-    cand = a.join(b, ["band_idx", "band_val"]).filter(F.col("id_a") < F.col("id_b"))
+    cand = a.join(b, ["band_idx", "band_val", "ci", "cj"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return (
         # hamming-verify BEFORE the dedup shuffle: most band collisions

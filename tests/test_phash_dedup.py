@@ -112,6 +112,72 @@ def test_phash_near_dup_matches_bruteforce(spark):
     assert len(brute) >= 30  # the planted pairs are actually there
 
 
+def test_phash_near_dup_chunked_equals_bruteforce(spark):
+    """Hot-bucket chunking must not change the pair set: rerun the
+    brute-force property with chunk_size=8 so every planted bucket is
+    split across multiple id-range chunks (cross-chunk, same-chunk and
+    chunk-boundary pairs all exercised)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    hashes = rng.integers(0, 1 << 63, size=120, dtype=np.int64).tolist()
+    rows = [(f"r{i:03d}", int(h)) for i, h in enumerate(hashes)]
+    for i in range(0, 120, 4):
+        nbits = 1 + (i // 4) % 3
+        mask = 0
+        while bin(mask).count("1") < nbits:
+            mask |= 1 << int(rng.integers(0, 63))
+        rows.append((f"r{i:03d}v", int(np.int64(hashes[i] ^ mask))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup(df, max_hamming=3, chunk_size=8).collect()
+    }
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, pa), (ib, pb) = rows[i], rows[j]
+            d = bin((pa ^ pb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                a, b = sorted((ia, ib))
+                brute.add((a, b, d))
+    assert got == brute
+    assert len(brute) >= 25
+
+
+def test_phash_near_dup_degenerate_corpus(spark):
+    """The verdict's 100x-scale risk case: a corpus collapsing onto a
+    handful of phash values (flat/monochrome images). 600 rows over 3
+    pairwise-far values with chunk_size=64 → every bucket spans 4
+    chunks; the output must be exactly the 3 * C(200,2) within-value
+    pairs at hamming 0, each emitted once."""
+    vals = [0x0, 0xFFFF_FFFF_FFFF_FFF, 0x5555_5555_5555_5555]
+    assert all(
+        bin((a ^ b) & ((1 << 64) - 1)).count("1") > 3
+        for i, a in enumerate(vals)
+        for b in vals[i + 1:]
+    )
+    rows = [
+        (f"img{i:04d}", vals[i % 3]) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    out = phash_near_dup(df, max_hamming=3, chunk_size=64)
+    agg = out.groupBy("hamming").count().collect()
+    assert {(r.hamming, r["count"]) for r in agg} == {(0, 3 * 200 * 199 // 2)}
+
+
+def test_phash_band_occupancy_audit(spark):
+    from equi7grid_spark.dedup import phash_band_occupancy
+
+    rows = [(f"i{i}", 0) for i in range(10)] + [("x", 1 << 20)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    occ = phash_band_occupancy(df).collect()
+    # hottest first: bands 0/2/3 value 0 hold all 11 rows ("x" only
+    # differs in band 1: (1<<20)>>16 = 16)
+    assert occ[0].n_rows == 11
+    assert (occ[-1].band_idx, occ[-1].band_val, occ[-1].n_rows) == (1, 16, 1)
+
+
 def test_phash_near_dup_null_rows_dropped(spark):
     rows = [("a", 5), ("b", 5), (None, 5), ("c", None)]
     df = spark.createDataFrame(rows, "image_id string, phash long")
