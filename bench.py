@@ -58,6 +58,8 @@ HEADLINE = [
     "roi_search_global_t6",
     "warp_raster_to_tiles",
     "image_decode_stats",
+    "image_phash_near_dup",    # banded hamming join (graft flagship op)
+    "image_phash_pipeline",    # decode -> DCT phash -> banded join
 ]
 
 
@@ -196,7 +198,9 @@ def measure_scaling(rounds: int = 3, max_extra: int = 4) -> dict:
                     break
                 retries += 1
                 print(f"# round {r}: steal too high, re-running", file=sys.stderr)
-                time.sleep(45)  # steal epochs last minutes; let it pass
+                # steal epochs last minutes — escalate the wait so the
+                # later retries can actually outlive one
+                time.sleep(45 * retries)
             pair[n] = rps
             cur = best.get(n)
             if cur is None or rps > cur["rows_per_sec"]:
@@ -223,7 +227,12 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
     made per-query r1/r2 comparisons unreadable — a steal epoch hitting
     one query reads as a regression of THAT query. So steal is now
     measured around each query's min-of-2 window, and a query whose
-    window was stolen above BENCH_STEAL_MAX is re-run (bounded)."""
+    window was stolen above BENCH_STEAL_MAX is re-run (bounded, with
+    escalating backoff — epochs last minutes, so a fixed 30s wait could
+    land every retry inside the same epoch). A query whose FINAL
+    accepted window still exceeded the threshold is listed in the
+    output's queries_over_steal so downstream round-over-round
+    comparisons can exclude it instead of reading it as a regression."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -253,7 +262,7 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
                 f"# {name}: steal {steal:.1%} > {STEAL_MAX:.0%}, re-running",
                 file=sys.stderr,
             )
-            time.sleep(30)  # steal epochs last minutes; let it pass
+            time.sleep(30 * (attempt + 1))
         times[name] = round(best, 3)
         qsteals[name] = round(steal, 4)
         print(
@@ -294,6 +303,9 @@ def main() -> None:
         "scaling_run_steal_fracs": scaling["steal_fracs"],
         "headline_steal_frac": headline_steal,
         "queries_steal_fracs": qsteals,
+        "queries_over_steal": sorted(
+            n for n, s in qsteals.items() if s > STEAL_MAX
+        ),
     }
     print(json.dumps(out))
 

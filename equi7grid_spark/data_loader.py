@@ -9,6 +9,7 @@ needed — so executors can np.load / pq.read_table normally.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 from functools import lru_cache
@@ -17,24 +18,50 @@ from pathlib import Path
 _PKG_DATA = Path(__file__).parent / "data"
 
 
+@lru_cache(maxsize=1)
+def _archive_tag() -> str:
+    """Identity of the zip archive the package is imported from
+    (path + size + mtime_ns, hashed), or '' when imported from a
+    directory. Keying the cache dir on this makes staleness exact per
+    shipped archive — a rebuilt zip (even with byte-identical-length
+    artifacts, the round-3 size check's blind spot) lands in a fresh
+    cache dir, and a cache hit needs NO payload read at all."""
+    for anc in Path(__file__).parents:
+        try:
+            if anc.is_file():
+                st = anc.stat()
+                key = f"{anc}:{st.st_size}:{st.st_mtime_ns}"
+                return hashlib.sha256(key.encode()).hexdigest()[:16]
+        except OSError:
+            pass
+    return ""
+
+
 @lru_cache(maxsize=None)
 def resource_path(relpath: str) -> str:
     """Resolve any package-relative resource (e.g. 'jvm/equi7-kernel.jar')
     to an on-disk path, extracting from a zip import when needed.
 
-    Concurrency + staleness: many python workers on one host race to
-    extract the same resource, so the write goes to a PID-unique temp
-    name published with an atomic os.replace (last writer wins with a
-    complete file — never a partially-written one), and an existing
-    cached copy is reused only when its size matches the packaged
-    bytes, so shipping a rebuilt artifact in a new zip invalidates the
-    old cache entry."""
+    Concurrency: many python workers on one host race to extract the
+    same resource, so the write goes to a PID-unique temp name
+    published with an atomic os.replace (last writer wins with a
+    complete file — never a partially-written one). Staleness: the
+    cache dir is keyed by the archive's identity (_archive_tag), so an
+    existing entry is always from THIS archive and is reused without
+    re-reading the packaged bytes."""
     direct = Path(__file__).parent / relpath
     try:
         if direct.exists():
             return str(direct)
     except OSError:
         pass
+
+    tag = _archive_tag()
+    cache = Path(tempfile.gettempdir()) / f"equi7grid_spark_res_{os.getuid()}_{tag}"
+    out = cache / relpath
+    if out.exists():
+        return str(out)
+
     import importlib.resources as res
 
     source = res.files("equi7grid_spark")
@@ -42,15 +69,7 @@ def resource_path(relpath: str) -> str:
         source = source.joinpath(part)
     with source.open("rb") as fh:
         payload = fh.read()
-
-    cache = Path(tempfile.gettempdir()) / f"equi7grid_spark_res_{os.getuid()}"
-    out = cache / relpath
     out.parent.mkdir(parents=True, exist_ok=True)
-    try:
-        if out.stat().st_size == len(payload):
-            return str(out)
-    except OSError:
-        pass
     tmp = out.with_suffix(out.suffix + f".tmp{os.getpid()}")
     tmp.write_bytes(payload)
     os.replace(tmp, out)

@@ -186,27 +186,50 @@ def streaming_dedup(
 
 def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
     """Drain everything currently available into an in-memory sink and
-    stop — the batch-equivalent execution used by tests and backfills."""
-    mode = "complete" if stream_df.isStreaming and _has_aggregation(stream_df) else "append"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    stop — the batch-equivalent execution used by tests and backfills.
+
+    Aggregated streams need complete output mode (so the drain shows
+    every group, not just watermark-closed ones); everything else needs
+    append. Rather than inspecting internal plan objects (_jdf — the
+    round-3 approach, brittle across Spark versions), try complete
+    first and fall back on the public AnalysisException: Spark rejects
+    complete mode eagerly at start() for exactly the non-aggregated
+    queries that need append."""
+    from pyspark.errors import AnalysisException
+
+    def _start(mode: str):
+        return (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        q = _start("complete")
+    except AnalysisException:
+        q = _start("append")
     q.awaitTermination()
     return q
 
 
-def _has_aggregation(df: DataFrame) -> bool:
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return "Aggregate" in plan
-
-
 _PHASH_OUT_SCHEMA = "id_a string, id_b string, hamming int"
 _PHASH_STATE_SCHEMA = "ids array<string>, phs array<long>, tss array<long>"
+
+
+def _popcount64(x):
+    """Vectorized 64-bit popcount (SWAR) for uint64 arrays — NumPy
+    1.x has no bitwise_count."""
+    import numpy as np
+
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
 def streaming_phash_near_dup(
@@ -216,6 +239,7 @@ def streaming_phash_near_dup(
     max_hamming: int = 3,
     n_bands: int = 4,
     watermark: str = "1 hour",
+    max_bucket_rows: int = 100_000,
 ) -> DataFrame:
     """Custom stateful streaming operator #2: continuous near-duplicate
     image detection over a stream of perceptual hashes
@@ -238,26 +262,56 @@ def streaming_phash_near_dup(
 
     Matches older->newer within the horizon; pairs whose members arrive
     farther apart than the watermark are not emitted (documented
-    horizon semantics, same contract as streaming_dedup)."""
+    horizon semantics, same contract as streaming_dedup).
+
+    Round-4 hardening:
+    - the state compare is one vectorized NumPy pass per arrival
+      (broadcast XOR + SWAR popcount + per-band agreement masks over
+      the bucket's columnar state) instead of a per-entry Python loop;
+    - duplicate arrivals of an image_id already live in the bucket
+      refresh that entry's timestamp and do NOT re-pair (the batch
+      operator's distinct emits each pair once; re-pairing emitted
+      duplicates). Corollary: a pair becomes visible through a
+      duplicate arrival only via the refreshed horizon, so image_ids
+      are expected unique within the horizon for exact batch parity;
+    - a bucket whose retained state would exceed `max_bucket_rows`
+      fails loudly with sizing advice instead of growing an unbounded
+      in-memory list on a degenerate hot bucket (same skew class the
+      batch operator chunks around; state here cannot be chunked
+      without breaking exactly-once, so the guard is a hard cap)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     width = 64 // n_bands
     mask_band = (1 << width) - 1
-    mask64 = (1 << 64) - 1
     horizon_us = _duration_us(watermark)
-
-    def min_matching_band(pa: int, pb: int) -> int:
-        ua, ub = pa & mask64, pb & mask64
-        for i in range(n_bands):
-            if (ua >> (i * width)) & mask_band == (ub >> (i * width)) & mask_band:
-                return i
-        return -1
 
     def fn(key, pdfs, state):
         band_idx = int(key[0])
         out_a, out_b, out_h = [], [], []
+
+        def pair_against(ids, phs, tss, rid, rph, lo):
+            """Vectorized: emit (rid, ids[k]) for every in-horizon
+            entry within max_hamming whose LOWEST agreeing band is this
+            group's band (the exactly-once rule)."""
+            if not len(phs):
+                return
+            x = phs ^ rph
+            d = _popcount64(x)
+            ok = (d <= max_hamming) & (tss >= lo)
+            if not ok.any():
+                return
+            low = np.full(x.shape, -1, dtype=np.int64)
+            for i in range(n_bands - 1, -1, -1):
+                agree = ((x >> np.uint64(i * width)) & np.uint64(mask_band)) == 0
+                low[agree] = i
+            for k in np.nonzero(ok & (low == band_idx))[0]:
+                a, b = sorted((rid, ids[k]))
+                out_a.append(a)
+                out_b.append(b)
+                out_h.append(int(d[k]))
+
         if state.hasTimedOut:
             state.remove()
         else:
@@ -265,26 +319,42 @@ def streaming_phash_near_dup(
             rows = pd.concat(chunks) if chunks else pd.DataFrame()
             if len(rows):
                 rows = rows.sort_values(["ts", "image_id"])
-                ids = list(state.get[0]) if state.exists else []
-                phs = list(state.get[1]) if state.exists else []
-                tss = list(state.get[2]) if state.exists else []
-                ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
-                for rid, rph, rts in zip(
-                    rows["image_id"].tolist(), rows["phash"].tolist(), ts_us.tolist()
-                ):
+                s_ids = list(state.get[0]) if state.exists else []
+                s_ph = np.asarray(
+                    list(state.get[1]) if state.exists else [], dtype=np.int64
+                ).astype(np.uint64)
+                s_ts = np.asarray(
+                    list(state.get[2]) if state.exists else [], dtype=np.int64
+                )
+                pos = {v: k for k, v in enumerate(s_ids)}
+                b_ids = rows["image_id"].tolist()
+                b_ph = rows["phash"].to_numpy(dtype=np.int64).astype(np.uint64)
+                b_ts = (rows["ts"].astype("int64") // 1000).to_numpy()
+                keep: list[int] = []  # non-duplicate batch arrival indexes
+                bpos: dict[str, int] = {}
+                for j, rid in enumerate(b_ids):
+                    rts = int(b_ts[j])
+                    hit = pos.get(rid)
+                    if hit is not None:
+                        s_ts[hit] = rts  # refresh horizon, no re-pair
+                        continue
+                    hit = bpos.get(rid)
+                    if hit is not None:
+                        b_ts[hit] = rts
+                        continue
                     lo = rts - horizon_us
-                    for oid, oph, ots in zip(ids, phs, tss):
-                        if ots < lo or oid == rid:
-                            continue
-                        d = bin((rph ^ oph) & mask64).count("1")
-                        if d <= max_hamming and min_matching_band(rph, oph) == band_idx:
-                            a, b = sorted((rid, oid))
-                            out_a.append(a)
-                            out_b.append(b)
-                            out_h.append(d)
-                    ids.append(rid)
-                    phs.append(int(rph))
-                    tss.append(int(rts))
+                    pair_against(s_ids, s_ph, s_ts, rid, b_ph[j], lo)
+                    if keep:
+                        ki = np.asarray(keep)
+                        pair_against(
+                            [b_ids[k] for k in keep], b_ph[ki], b_ts[ki],
+                            rid, b_ph[j], lo,
+                        )
+                    bpos[rid] = j
+                    keep.append(j)
+                ids = s_ids + [b_ids[k] for k in keep]
+                phs = np.concatenate([s_ph, b_ph[keep]])
+                tss = np.concatenate([s_ts, b_ts[keep]])
                 # Prune at TWICE the horizon behind the group-local
                 # newest: a future non-late arrival D has
                 # D.ts >= watermark = global_max - horizon, so D can
@@ -293,12 +363,22 @@ def streaming_phash_near_dup(
                 # wrong — an unrelated hot row in THIS bucket could
                 # evict a member while the lowest-agreeing-band rule
                 # suppressed emission from the bucket that kept it.
-                newest = max(tss)
-                keep = [i for i, t in enumerate(tss) if t >= newest - 2 * horizon_us]
+                newest = int(tss.max())
+                live = tss >= newest - 2 * horizon_us
+                if int(live.sum()) > max_bucket_rows:
+                    raise RuntimeError(
+                        f"streaming_phash_near_dup: bucket (band {band_idx}, "
+                        f"val {int(key[1])}) holds {int(live.sum())} rows within "
+                        f"2x the '{watermark}' horizon (cap {max_bucket_rows}). "
+                        "The corpus is collapsing onto few phash values; "
+                        "shorten the watermark, raise max_bucket_rows, or "
+                        "dedup this stream in batch (dedup.phash_near_dup "
+                        "chunks hot buckets)."
+                    )
                 state.update((
-                    [ids[i] for i in keep],
-                    [phs[i] for i in keep],
-                    [tss[i] for i in keep],
+                    [i for i, m in zip(ids, live.tolist()) if m],
+                    phs[live].astype(np.int64).tolist(),
+                    tss[live].tolist(),
                 ))
                 # cleared only when every retained entry is dead for
                 # any non-late arrival (watermark >= newest + 2h)
@@ -346,5 +426,8 @@ def _duration_us(spec: str) -> int:
         raise ValueError(f"cannot parse duration {spec!r}")
     total = 0
     for n, unit in zip(parts[::2], parts[1::2]):
-        total += int(n) * scale[unit.rstrip("s")]
+        mult = scale.get(unit.rstrip("s"))
+        if mult is None or not n.isdigit():
+            raise ValueError(f"cannot parse duration {spec!r}")
+        total += int(n) * mult
     return total

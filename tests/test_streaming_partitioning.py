@@ -228,3 +228,71 @@ def test_streaming_phash_near_dup_matches_batch(spark, tmp_path):
     got = [(r.id_a, r.id_b, r.hamming) for r in got_rows]
     assert len(got) == len(set(got)), "pair emitted more than once"
     assert set(got) == expected
+
+
+def test_streaming_phash_duplicate_arrivals_no_duplicate_pairs(spark, tmp_path):
+    """An image_id arriving twice must not re-emit its pairs (the batch
+    operator's distinct emits each pair once; round-3 emitted dups)."""
+    from equi7grid_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_phash_near_dup,
+    )
+
+    rows = [
+        ("a", "2026-01-01 10:00:00", 7),
+        ("b", "2026-01-01 10:00:10", 7),
+        ("a", "2026-01-01 10:00:20", 7),  # duplicate arrival of a
+        ("c", "2026-01-01 10:00:30", 7),
+    ]
+    src = str(tmp_path / "dup_stream")
+    spark.createDataFrame(
+        rows, "image_id string, ts_s string, phash long"
+    ).selectExpr(
+        "image_id", "CAST(ts_s AS TIMESTAMP) AS ts", "phash"
+    ).write.parquet(src)
+    out = streaming_phash_near_dup(spark, src, watermark="1 hour")
+    run_available_now(out, str(tmp_path / "ck_dup"), "stream_phash_dup")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in spark.sql("select * from stream_phash_dup").collect()
+    )
+    assert got == [("a", "b", 0), ("a", "c", 0), ("b", "c", 0)]
+
+
+def test_streaming_phash_hot_bucket_cap_fails_loudly(spark, tmp_path):
+    """A degenerate bucket exceeding max_bucket_rows must abort the
+    query with sizing advice, not grow state without bound."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from equi7grid_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_phash_near_dup,
+    )
+
+    rows = [
+        (f"i{i:02d}", f"2026-01-01 10:00:{i:02d}", 99) for i in range(12)
+    ]
+    src = str(tmp_path / "hot_stream")
+    spark.createDataFrame(
+        rows, "image_id string, ts_s string, phash long"
+    ).selectExpr(
+        "image_id", "CAST(ts_s AS TIMESTAMP) AS ts", "phash"
+    ).write.parquet(src)
+    out = streaming_phash_near_dup(
+        spark, src, watermark="1 hour", max_bucket_rows=5
+    )
+    with pytest.raises(StreamingQueryException, match="max_bucket_rows"):
+        run_available_now(out, str(tmp_path / "ck_hot"), "stream_phash_hot")
+
+
+def test_duration_us_rejects_unknown_unit():
+    import pytest
+
+    from equi7grid_spark.streaming.pipeline import _duration_us
+
+    assert _duration_us("1 hour 30 minutes") == 5_400_000_000
+    with pytest.raises(ValueError, match="cannot parse duration"):
+        _duration_us("1 hr")
+    with pytest.raises(ValueError, match="cannot parse duration"):
+        _duration_us("soon")
