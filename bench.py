@@ -277,7 +277,11 @@ def main() -> None:
         flagship_run(int(sys.argv[2]))
         return
 
-    scaling = measure_scaling()
+    # BENCH_HEADLINE_ONLY=1 skips the pinned scaling pairs — for extra
+    # sf points (e.g. the sf1 run) where scaling is sf-independent and
+    # already measured by the main run
+    headline_only = os.environ.get("BENCH_HEADLINE_ONLY", "") == "1"
+    scaling = None if headline_only else measure_scaling()
 
     time.sleep(15)  # settle after the pinned scaling runs
     spark = _session(CPUS, "equi7_bench_headline")
@@ -295,18 +299,23 @@ def main() -> None:
         "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "images_n": IMAGES_N,
-        f"images_per_sec_local{SCALE_N}": scaling[f"local{SCALE_N}"]["rows_per_sec"],
-        f"images_per_sec_local{4*SCALE_N}": scaling[f"local{4*SCALE_N}"]["rows_per_sec"],
-        "scaling_pair": [SCALE_N, 4 * SCALE_N],
-        "scaling_pair_efficiencies": scaling["pair_efficiencies"],
-        "scaling_efficiency_n_to_4n": scaling["scaling_efficiency"],
-        "scaling_run_steal_fracs": scaling["steal_fracs"],
+    }
+    if scaling is not None:
+        out.update({
+            f"images_per_sec_local{SCALE_N}": scaling[f"local{SCALE_N}"]["rows_per_sec"],
+            f"images_per_sec_local{4*SCALE_N}": scaling[f"local{4*SCALE_N}"]["rows_per_sec"],
+            "scaling_pair": [SCALE_N, 4 * SCALE_N],
+            "scaling_pair_efficiencies": scaling["pair_efficiencies"],
+            "scaling_efficiency_n_to_4n": scaling["scaling_efficiency"],
+            "scaling_run_steal_fracs": scaling["steal_fracs"],
+        })
+    out.update({
         "headline_steal_frac": headline_steal,
         "queries_steal_fracs": qsteals,
         "queries_over_steal": sorted(
             n for n, s in qsteals.items() if s > STEAL_MAX
         ),
-    }
+    })
     print(json.dumps(out))
 
 

@@ -103,3 +103,20 @@ def test_decided_tile_assign_plan_is_jvm_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_phash_near_dup_plan_joins_on_chunk_keys(spark):
+    """Round-4 skew hardening in the plan: the candidate join must key
+    on the chunk-pair columns (ci, cj) alongside the band — never a
+    cartesian or nested-loop — and stay fully JVM-side."""
+    from equi7grid_spark.dedup import phash_near_dup
+    from equi7grid_spark.images import synthetic_images
+
+    allv = synthetic_images(spark, 1000, with_bytes=False).select(
+        "image_id", "phash"
+    )
+    plan = _physical(phash_near_dup(allv))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ci" in plan and "cj" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
