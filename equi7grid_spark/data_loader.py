@@ -20,18 +20,23 @@ _PKG_DATA = Path(__file__).parent / "data"
 
 @lru_cache(maxsize=1)
 def _archive_tag() -> str:
-    """Identity of the zip archive the package is imported from
-    (path + size + mtime_ns, hashed), or '' when imported from a
-    directory. Keying the cache dir on this makes staleness exact per
-    shipped archive — a rebuilt zip (even with byte-identical-length
-    artifacts, the round-3 size check's blind spot) lands in a fresh
-    cache dir, and a cache hit needs NO payload read at all."""
+    """Content hash of the zip archive the package is imported from,
+    or '' when imported from a directory. Keying the cache dir on this
+    makes staleness exact per shipped archive — a rebuilt zip (even
+    with byte-identical-length artifacts, the round-3 size check's
+    blind spot) lands in a fresh cache dir, while re-submitting the
+    SAME zip (spark-submit copies it to a fresh per-app dir, so
+    path/mtime are useless identity) keeps reusing one cache dir
+    instead of leaking a new extraction per application. One archive
+    read per process; per-resource cache hits need no payload read."""
     for anc in Path(__file__).parents:
         try:
             if anc.is_file():
-                st = anc.stat()
-                key = f"{anc}:{st.st_size}:{st.st_mtime_ns}"
-                return hashlib.sha256(key.encode()).hexdigest()[:16]
+                h = hashlib.sha256()
+                with open(anc, "rb") as fh:
+                    for block in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(block)
+                return h.hexdigest()[:16]
         except OSError:
             pass
     return ""

@@ -56,11 +56,14 @@ def _boundary_values() -> tuple[str, str]:
             cand_rows.append(
                 f"({cid},{o},{cand['zc']},"
                 f"{'TRUE' if cand['ref_par'] else 'FALSE'},"
-                f"{cand['refx']!r},{cand['refy']!r})"
+                f"{float(cand['refx'])!r},{float(cand['refy'])!r})"
             )
+            # float() before repr: NumPy 2.x scalar repr is
+            # 'np.float64(1.5)', which is not SQL
             for e in cand["edges"]:
                 edge_rows.append(
-                    f"({cid},{o},{e[0]!r},{e[1]!r},{e[2]!r},{e[3]!r})"
+                    f"({cid},{o},{float(e[0])!r},{float(e[1])!r},"
+                    f"{float(e[2])!r},{float(e[3])!r})"
                 )
     return ",".join(cand_rows), ",".join(edge_rows)
 

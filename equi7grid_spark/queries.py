@@ -2059,6 +2059,44 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup(allv, max_hamming=3)
 
 
+def _oracle_image_phash_band_occupancy() -> str:
+    from equi7grid_spark.functions.images_sql import synthetic_lonlat_sql
+
+    return f"""
+    WITH {synthetic_lonlat_sql(_N_IMG_ORACLE)},
+    bands AS (
+      SELECT CAST(b AS INT) AS band_idx,
+             (phash >> (b * 16)::INT) & 65535 AS band_val
+      FROM img, generate_series(0, 3) AS t(b)
+    ),
+    occ AS (
+      SELECT band_idx, band_val, count(*)::BIGINT AS n_rows
+      FROM bands GROUP BY band_idx, band_val
+    )
+    SELECT band_idx, band_val, n_rows
+    FROM occ ORDER BY n_rows DESC, band_idx, band_val LIMIT 100
+    """
+
+
+@register("image_phash_band_occupancy", _oracle_image_phash_band_occupancy)
+def q_image_phash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket skew audit (dedup.phash_band_occupancy) under a
+    value-exact oracle: hottest 100 (band_idx, band_val) buckets of the
+    synthetic corpus. Deterministic LIMIT: the ordering is total
+    ((band_idx, band_val) is unique), so both engines cut the same
+    rows. This is the pre-flight a 100 TB dedup runs to size
+    phash_near_dup's chunk_size."""
+    from equi7grid_spark.dedup import phash_band_occupancy
+    from equi7grid_spark.images import synthetic_images
+
+    imgs = synthetic_images(spark, _N_IMG_ORACLE, with_bytes=False)
+    return (
+        phash_band_occupancy(imgs)
+        .orderBy(F.col("n_rows").desc(), "band_idx", "band_val")
+        .limit(100)
+    )
+
+
 @register("image_phash_pipeline", None)
 def q_image_phash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end content-based image dedup: decode pixels -> 32x32 DCT
@@ -2081,15 +2119,25 @@ def q_image_phash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union below consumes the source twice, and re-running the
     # synthesis per branch would benchmark the fixture generator, not
     # the decode->transcode->phash->dedup pipeline (which in production
-    # reads bytes from a table). Seeded synthesis -> byte-identical
-    # parquet regardless of who writes it.
+    # reads bytes from a table). Seeded synthesis -> identical rows
+    # regardless of who writes it. Completeness is judged by _SUCCESS
+    # (a bare exists() would trust a crashed half-write forever) and
+    # publication is an atomic rename of a PID-unique temp dir, so
+    # concurrent sessions can't read each other's partial output.
     import os
+    import shutil
 
     src = "/tmp/equi7_phash_pipeline_imgs_3000.parquet"
-    if not os.path.exists(src):
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        tmp = f"{src}.tmp{os.getpid()}"
         synthetic_images(spark, 3000, with_bytes=True).write.mode(
             "overwrite"
-        ).parquet(src)
+        ).parquet(tmp)
+        shutil.rmtree(src, ignore_errors=True)  # crashed half-write, if any
+        try:
+            os.rename(tmp, src)
+        except OSError:  # lost a race to a concurrent complete writer
+            shutil.rmtree(tmp, ignore_errors=True)
     imgs = spark.read.parquet(src)
     tenth = imgs.filter(
         F.substring("image_id", 4, 12).cast("long") % 10 == 0

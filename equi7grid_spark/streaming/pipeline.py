@@ -209,7 +209,13 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
 
     try:
         q = _start("complete")
-    except AnalysisException:
+    except AnalysisException as exc:
+        # fall back ONLY on the output-mode rejection — re-raising
+        # anything else (unresolved column, bad checkpoint, table
+        # conflicts) keeps the real error visible instead of showing
+        # append mode's unrelated second failure
+        if "output mode" not in str(exc).lower():
+            raise
         q = _start("append")
     q.awaitTermination()
     return q
@@ -336,11 +342,15 @@ def streaming_phash_near_dup(
                     rts = int(b_ts[j])
                     hit = pos.get(rid)
                     if hit is not None:
-                        s_ts[hit] = rts  # refresh horizon, no re-pair
+                        # refresh horizon, no re-pair; max() so a LATE
+                        # duplicate (within watermark but older than the
+                        # live entry) can't move the entry backward and
+                        # shrink its pairing horizon/retention
+                        s_ts[hit] = max(int(s_ts[hit]), rts)
                         continue
                     hit = bpos.get(rid)
                     if hit is not None:
-                        b_ts[hit] = rts
+                        b_ts[hit] = max(int(b_ts[hit]), rts)
                         continue
                     lo = rts - horizon_us
                     pair_against(s_ids, s_ph, s_ts, rid, b_ph[j], lo)
