@@ -95,6 +95,162 @@ def _system_consts(system_order: tuple[str, ...]) -> dict[str, list[float]]:
     }
 
 
+def _system_consts_direct(system_order: tuple[str, ...]) -> dict[str, list[float]]:
+    """Per-zone constants for the DIRECT problem, computed in
+    geodesy.geodesic_direct's exact formula order (tanU1 -> cosU1 via
+    1/sqrt -> sinU1 via product), NOT reused from _system_consts (which
+    derives sinU1/cosU1 through atan+sin/cos — last-ulp different)."""
+    tanU1, cosU1, sinU1, lon0, x0, y0 = [], [], [], [], [], []
+    for cc in system_order:
+        s = SYSTEMS[cc]
+        t = (1.0 - _F) * math.tan(math.radians(s.lat_0))
+        cu = 1.0 / math.sqrt(1.0 + t * t)
+        tanU1.append(t)
+        cosU1.append(cu)
+        sinU1.append(t * cu)
+        lon0.append(s.lon_0)
+        x0.append(s.x_0)
+        y0.append(s.y_0)
+    return {
+        "tanU1": tanU1,
+        "cosU1": cosU1,
+        "sinU1": sinU1,
+        "lon0": lon0,
+        "x0": x0,
+        "y0": y0,
+    }
+
+
+def with_aeqd_inverse(
+    df: DataFrame,
+    zc_col: str = "zc",
+    x_col: str = "x",
+    y_col: str = "y",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    system_order: tuple[str, ...] = DEFAULT_SYSTEM_ORDER,
+    iters: int = ITERS,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Add AEQD-inverse (lon, lat) columns from (zone code, x, y) —
+    the Vincenty DIRECT geodesic problem from the zone center along
+    azimuth atan2(dx, dy) for distance hypot(dx, dy), unrolled into
+    Column algebra like with_aeqd_forward (reference xy_to_lonlat,
+    tests/test_equi7grid.py:50-56).
+
+    This is the JVM-side scale path for the inverse projection (the
+    round-1 pandas UDF operators/assign.inverse_lonlat_udf remains the
+    API-parity fallback). Numerical contract: mirrors
+    geodesy.geodesic_direct term for term; the sigma fixed-point
+    contracts at ~B (<= 4e-3 in-zone) per round, so ITERS=6 sits far
+    below float64 round-off — tests pin < 1e-9 deg vs the converged
+    NumPy kernel and roundtrip closure through with_aeqd_forward.
+
+    At the zone center (x, y) == (x0, y0): az = atan2(0, 0) = 0,
+    sigma converges to 0, and the closing formulae yield exactly
+    (lon0, lat_0) like the NumPy kernel — no special-casing needed.
+    """
+    c = _system_consts_direct(tuple(system_order))
+    zc = F.col(zc_col)
+    keep = list(df.columns) if carry is None else list(carry)
+    if zc_col not in keep:
+        keep = [zc_col, *keep]
+
+    tanU1 = zone_const(zc, c["tanU1"])
+    cosU1 = zone_const(zc, c["cosU1"])
+    sinU1 = zone_const(zc, c["sinU1"])
+
+    # --- setup: distance + azimuth from the projected offsets ---
+    d = df.select(
+        *keep,
+        F.hypot(F.col(x_col) - zone_const(zc, c["x0"]),
+                F.col(y_col) - zone_const(zc, c["y0"])).alias("__s"),
+        F.atan2(F.col(x_col) - zone_const(zc, c["x0"]),
+                F.col(y_col) - zone_const(zc, c["y0"])).alias("__az1"),
+    )
+    d = d.select(
+        *keep, "__s",
+        F.sin("__az1").alias("__sina1"),
+        F.cos("__az1").alias("__cosa1"),
+    )
+    sina1, cosa1 = F.col("__sina1"), F.col("__cosa1")
+    # cheap arithmetic, inlined per the forward's plan design
+    sin_alpha = cosU1 * sina1
+    csa = 1.0 - sin_alpha * sin_alpha
+    u2 = csa * F.lit((_A * _A - _B * _B) / (_B * _B))
+    d = d.select(
+        *keep, "__s", "__sina1", "__cosa1",
+        F.atan2(tanU1, cosa1).alias("__sig1"),
+        (
+            1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+        ).alias("__Ab"),
+        (
+            u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+        ).alias("__Bb"),
+    )
+    d = d.select(
+        *keep, "__sina1", "__cosa1", "__sig1", "__Bb",
+        (F.col("__s") / (F.lit(_B) * F.col("__Ab"))).alias("__sig0"),
+    )
+    base = [*keep, "__sina1", "__cosa1", "__sig1", "__Bb", "__sig0"]
+    d = d.select(*base, F.col("__sig0").alias("__sig"))
+
+    Bb, sig0, sig1 = F.col("__Bb"), F.col("__sig0"), F.col("__sig1")
+    for _ in range(iters):
+        # P1: trig of the current sigma (the only non-cheap terms)
+        d = d.select(
+            *base,
+            F.cos(2.0 * sig1 + F.col("__sig")).alias("__c2sm"),
+            F.sin("__sig").alias("__ssig"),
+            F.cos("__sig").alias("__csig"),
+        )
+        c2sm, ssig, csig = F.col("__c2sm"), F.col("__ssig"), F.col("__csig")
+        delta = Bb * ssig * (
+            c2sm
+            + Bb / 4.0 * (
+                csig * (-1.0 + 2.0 * c2sm * c2sm)
+                - Bb / 6.0 * c2sm * (-3.0 + 4.0 * ssig * ssig)
+                * (-3.0 + 4.0 * c2sm * c2sm)
+            )
+        )
+        d = d.select(*base, (sig0 + delta).alias("__sig"))
+
+    # --- closing: trig at the final sigma, then phi2 / lambda / L ---
+    d = d.select(
+        *base, "__sig",
+        F.cos(2.0 * sig1 + F.col("__sig")).alias("__c2sm"),
+        F.sin("__sig").alias("__ssig"),
+        F.cos("__sig").alias("__csig"),
+    )
+    c2sm, ssig, csig = F.col("__c2sm"), F.col("__ssig"), F.col("__csig")
+    tmp = sinU1 * ssig - cosU1 * csig * cosa1
+    d = d.select(
+        *keep, "__sig", "__c2sm", "__ssig", "__csig", "__sina1", "__cosa1",
+        F.atan2(
+            sinU1 * csig + cosU1 * ssig * cosa1,
+            F.lit(1.0 - _F) * F.hypot(sin_alpha, tmp),
+        ).alias("__phi2"),
+        F.atan2(ssig * sina1, cosU1 * csig - sinU1 * ssig * cosa1).alias("__lam"),
+    )
+    Cc = F.lit(_F / 16.0) * csa * (4.0 + _F * (4.0 - 3.0 * csa))
+    Lval = F.col("__lam") - (1.0 - Cc) * _F * sin_alpha * (
+        F.col("__sig")
+        + Cc * ssig * (c2sm + Cc * csig * (-1.0 + 2.0 * c2sm * c2sm))
+    )
+    out_cols = [k for k in keep if k != zc_col or zc_col in (carry or df.columns)]
+    return d.select(
+        *out_cols,
+        (
+            F.pmod(
+                zone_const(zc, c["lon0"]) + F.degrees(Lval) + F.lit(180.0),
+                F.lit(360.0),
+            )
+            - F.lit(180.0)
+        ).alias(lon_col),
+        F.degrees("__phi2").alias(lat_col),
+    )
+
+
 def with_aeqd_forward(
     df: DataFrame,
     zc_col: str = "zc",

@@ -151,6 +151,108 @@ def aeqd_forward_sql(
     """
 
 
+def aeqd_inverse_sql(
+    src: str,
+    *,
+    iters: int = ITERS,
+    system_order: tuple[str, ...] = DEFAULT_SYSTEM_ORDER,
+    carry: tuple[str, ...] = ("zc",),
+) -> str:
+    """SELECT producing (carry..., lon, lat) from a relation `src` with
+    columns (zc, x, y) — the Vincenty DIRECT problem, mirroring
+    geodesy_cols.with_aeqd_inverse term for term (same caveats as the
+    forward mirror: hypot -> sqrt-of-squares is the one ~1-ulp
+    divergence; consuming oracles must stay floor-robust)."""
+    from equi7grid_spark.functions.geodesy_cols import _system_consts_direct
+
+    c = _system_consts_direct(tuple(system_order))
+    keep = ", ".join(dict.fromkeys(("zc",) + tuple(carry)))
+
+    # layer 0: per-zone constants + offsets
+    q = f"""
+      SELECT {keep},
+             {_zc_list(c["tanU1"])} AS k_tanU1,
+             {_zc_list(c["cosU1"])} AS k_cosU1,
+             {_zc_list(c["sinU1"])} AS k_sinU1,
+             {_zc_list(c["lon0"])} AS k_lon0,
+             x - {_zc_list(c["x0"])} AS dx,
+             y - {_zc_list(c["y0"])} AS dy
+      FROM {src}
+    """
+    q = f"""
+      SELECT {keep}, k_tanU1, k_cosU1, k_sinU1, k_lon0,
+             sqrt(dx*dx + dy*dy) AS s, atan2(dx, dy) AS az1
+      FROM ({q})
+    """
+    q = f"""
+      SELECT {keep}, k_tanU1, k_cosU1, k_sinU1, k_lon0, s,
+             sin(az1) AS sina1, cos(az1) AS cosa1
+      FROM ({q})
+    """
+    # cheap arithmetic recomputed inline, like the Column version
+    sin_alpha = "(k_cosU1 * sina1)"
+    csa = f"(1.0 - {sin_alpha}*{sin_alpha})"
+    u2 = f"({csa} * {repr((_A * _A - _B * _B) / (_B * _B))})"
+    q = f"""
+      SELECT {keep}, k_cosU1, k_sinU1, k_lon0, s, sina1, cosa1,
+             atan2(k_tanU1, cosa1) AS sig1,
+             1.0 + {u2}/16384.0
+               * (4096.0 + {u2}*(-768.0 + {u2}*(320.0 - 175.0*{u2}))) AS Ab,
+             {u2}/1024.0
+               * (256.0 + {u2}*(-128.0 + {u2}*(74.0 - 47.0*{u2}))) AS Bb
+      FROM ({q})
+    """
+    base = f"{keep}, k_cosU1, k_sinU1, k_lon0, sina1, cosa1, sig1, Bb, sig0"
+    q = f"""
+      SELECT {base}, sig0 AS sig FROM (
+        SELECT {keep}, k_cosU1, k_sinU1, k_lon0, sina1, cosa1, sig1, Bb,
+               s / ({repr(_B)} * Ab) AS sig0
+        FROM ({q})
+      )
+    """
+    for _ in range(iters):
+        q = f"""
+          SELECT {base},
+                 cos(2.0*sig1 + sig) AS c2sm, sin(sig) AS ssig,
+                 cos(sig) AS csig
+          FROM ({q})
+        """
+        q = f"""
+          SELECT {base},
+                 sig0 + Bb*ssig*(c2sm + Bb/4.0*(csig*(-1.0 + 2.0*c2sm*c2sm)
+                   - Bb/6.0*c2sm*(-3.0 + 4.0*ssig*ssig)
+                     *(-3.0 + 4.0*c2sm*c2sm))) AS sig
+          FROM ({q})
+        """
+    q = f"""
+      SELECT {base}, sig,
+             cos(2.0*sig1 + sig) AS c2sm, sin(sig) AS ssig, cos(sig) AS csig
+      FROM ({q})
+    """
+    tmp = "(k_sinU1*ssig - k_cosU1*csig*cosa1)"
+    q = f"""
+      SELECT {keep}, k_lon0, sig, c2sm, ssig, csig, sina1, cosa1,
+             k_cosU1, k_sinU1,
+             atan2(k_sinU1*csig + k_cosU1*ssig*cosa1,
+                   {repr(1.0 - _F)}
+                     * sqrt({sin_alpha}*{sin_alpha} + {tmp}*{tmp})) AS phi2,
+             atan2(ssig*sina1, k_cosU1*csig - k_sinU1*ssig*cosa1) AS lam
+      FROM ({q})
+    """
+    Cc = f"({repr(_F / 16.0)} * {csa} * (4.0 + {repr(_F)}*(4.0 - 3.0*{csa})))"
+    Lval = (
+        f"(lam - (1.0 - {Cc}) * {repr(_F)} * {sin_alpha}"
+        f" * (sig + {Cc}*ssig*(c2sm + {Cc}*csig*(-1.0 + 2.0*c2sm*c2sm))))"
+    )
+    return f"""
+      SELECT {keep},
+             fmod(fmod(k_lon0 + degrees({Lval}) + 180.0, 360.0) + 360.0, 360.0)
+               - 180.0 AS lon,
+             degrees(phi2) AS lat
+      FROM ({q})
+    """
+
+
 def decided_digit_string(
     system_order: tuple[str, ...] = DEFAULT_SYSTEM_ORDER,
 ) -> str:

@@ -1561,6 +1561,50 @@ def _t6_counts_from_proj(proj: DataFrame) -> DataFrame:
     )
 
 
+def _oracle_tile_roundtrip() -> str:
+    """Full-domain roundtrip oracle: resolve -> forward -> inverse ->
+    forward -> T6 counts, each giant layered chain fenced MATERIALIZED
+    so DuckDB plans them independently."""
+    from equi7grid_spark.functions.geodesy_sql import (
+        aeqd_forward_sql,
+        aeqd_inverse_sql,
+    )
+    from equi7grid_spark.functions.zones_sql import resolve_zone_sql
+
+    return f"""
+    WITH pts AS ({_SQL_DERIVED_LONLAT}),
+    {resolve_zone_sql("pts", "pt_id")},
+    p1 AS MATERIALIZED ({aeqd_forward_sql("zoned")}),
+    inv AS MATERIALIZED ({aeqd_inverse_sql("p1")}),
+    proj AS MATERIALIZED ({aeqd_forward_sql("inv")}),
+    {_SQL_T6_COUNTS_FROM_PROJ}
+    """
+
+
+@register("tile_roundtrip_t6_counts", _oracle_tile_roundtrip)
+def q_tile_roundtrip_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection roundtrip closure at table scale, value-oracled over
+    the FULL domain: zone resolve -> AEQD forward -> JVM-side Column
+    inverse (functions/geodesy_cols.with_aeqd_inverse — the xy->lonlat
+    scale path; the pandas UDF remains only for API parity) -> forward
+    again -> per-T6-tile counts. A drift in EITHER direction would land
+    the second projection in different tiles than tile_assign_t6_counts
+    computes; the measured closure is < 1e-11 deg, ~5e7x inside the
+    tile-floor margin (reference xy_to_lonlat roundtrip semantics,
+    tests/test_equi7grid.py:50-99)."""
+    from equi7grid_spark.functions.geodesy_cols import with_aeqd_inverse
+    from equi7grid_spark.operators.assign_jvm import with_zone_code_jvm
+
+    pts = _derived_lonlat(spark, sf_dir, spread=_spread_unless_kernel(spark))
+    zoned = (
+        with_zone_code_jvm(pts)
+        .filter(F.col("zc").isNotNull())
+        .select("zc", "lon", "lat")
+    )
+    inv = with_aeqd_inverse(_aeqd_proj(zoned), carry=["zc"])
+    return _t6_counts_from_proj(_aeqd_proj(inv))
+
+
 @register("lonlat_roundtrip_maxerr", None)
 def q_lonlat_roundtrip_maxerr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.operators.assign import inverse_lonlat_udf

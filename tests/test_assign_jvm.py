@@ -53,6 +53,45 @@ def test_column_vincenty_matches_numpy(spark):
     assert dx.max() < 1e-6 and dy.max() < 1e-6, (dx.max(), dy.max())
 
 
+def test_column_inverse_matches_numpy_and_closes_roundtrip(spark):
+    """Round-4 JVM-side inverse projection (with_aeqd_inverse): must
+    agree with the converged NumPy direct kernel and close the
+    forward-inverse roundtrip on a dense in-zone grid."""
+    from equi7grid_spark.functions.geodesy_cols import with_aeqd_inverse
+    from equi7grid_spark.geodesy import aeqd_inverse
+
+    lo, la, zc = _inzone_grid(step=2.5)
+    xs = np.empty(lo.size)
+    ys = np.empty(lo.size)
+    for code in np.unique(zc):
+        m = zc == code
+        xs[m], ys[m] = aeqd_forward(DEFAULT_SYSTEM_ORDER[code], lo[m], la[m])
+    pdf = pd.DataFrame(
+        {"zc": zc.astype("int8"), "x": xs, "y": ys, "lon0": lo, "lat0": la}
+    )
+    out = (
+        with_aeqd_inverse(spark.createDataFrame(pdf))
+        .orderBy("lon0", "lat0")
+        .toPandas()
+    )
+    ref = pdf.sort_values(["lon0", "lat0"]).reset_index(drop=True)
+    eln = np.empty(len(ref))
+    elt = np.empty(len(ref))
+    for code in np.unique(ref["zc"]):
+        m = (ref["zc"] == code).to_numpy()
+        eln[m], elt[m] = aeqd_inverse(
+            DEFAULT_SYSTEM_ORDER[code],
+            ref["x"].to_numpy()[m],
+            ref["y"].to_numpy()[m],
+        )
+    dlon = np.abs(out["lon"].to_numpy() - eln)
+    assert np.minimum(dlon, 360.0 - dlon).max() < 1e-9
+    assert np.abs(out["lat"].to_numpy() - elt).max() < 1e-9
+    rlon = np.abs(out["lon"].to_numpy() - ref["lon0"].to_numpy())
+    assert np.minimum(rlon, 360.0 - rlon).max() < 1e-9
+    assert np.abs(out["lat"].to_numpy() - ref["lat0"].to_numpy()).max() < 1e-9
+
+
 def test_cell_map_decided_agrees_with_exact(spark):
     """Every decided cell's code must equal the exact kernel's answer
     for points sampled inside the cell (4 interior samples/cell)."""

@@ -56,6 +56,39 @@ def test_sql_vincenty_matches_numpy_kernel(cc):
     assert np.abs(got["y"] - ey).max() < 1e-6
 
 
+@pytest.mark.parametrize("cc", sorted(ZONE_BOXES))
+def test_sql_inverse_matches_numpy_kernel(cc):
+    """Round-4: the DIRECT-problem mirror (aeqd_inverse_sql) vs the
+    converged NumPy inverse, through a NumPy forward projection."""
+    from equi7grid_spark.functions.geodesy_sql import aeqd_inverse_sql
+    from equi7grid_spark.geodesy import aeqd_inverse
+
+    rng = np.random.default_rng(7)
+    lo_x, lo_y, hi_x, hi_y = ZONE_BOXES[cc]
+    lon = rng.uniform(lo_x, hi_x, 200)
+    lat = rng.uniform(lo_y, hi_y, 200)
+    zc = DEFAULT_SYSTEM_ORDER.index(cc)
+    x, y = aeqd_forward(cc, lon, lat)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pxy (zc TINYINT, x DOUBLE, y DOUBLE)")
+    con.executemany(
+        "INSERT INTO pxy VALUES (?, ?, ?)",
+        [(zc, float(a), float(b)) for a, b in zip(x, y)],
+    )
+    sql = aeqd_inverse_sql("pxy", carry=("zc", "x")) + " ORDER BY x"
+    got = con.execute(sql).fetchnumpy()
+    order = np.argsort(x)
+    elon, elat = aeqd_inverse(cc, x[order], y[order])
+    dlon = np.abs(got["lon"] - elon)
+    assert np.minimum(dlon, 360.0 - dlon).max() < 1e-9
+    assert np.abs(got["lat"] - elat).max() < 1e-9
+    # and the roundtrip closes on the original coordinates
+    rlon = np.abs(got["lon"] - lon[order])
+    assert np.minimum(rlon, 360.0 - rlon).max() < 1e-9
+    assert np.abs(got["lat"] - lat[order]).max() < 1e-9
+
+
 def test_decided_digit_string_mirrors_cell_codes():
     digits = decided_digit_string()
     codes = decided_cell_codes().ravel()  # [PF_NX, PF_NY] raveled = cell_id order
