@@ -45,6 +45,7 @@ IMAGES_PATH = f"/tmp/equi7_bench_images_{IMAGES_N}.parquet"
 
 HEADLINE = [
     "tile_assign_t6_counts",   # geodesic flagship on sf tables
+    "tile_roundtrip_t6_counts",  # fwd -> Column inverse -> fwd closure
     "tile_counts_t6",          # arithmetic tiling + agg
     "tilename_format",
     "bbox_range_join",

@@ -1595,7 +1595,13 @@ def q_tile_roundtrip_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.functions.geodesy_cols import with_aeqd_inverse
     from equi7grid_spark.operators.assign_jvm import with_zone_code_jvm
 
-    pts = _derived_lonlat(spark, sf_dir, spread=_spread_unless_kernel(spark))
+    # ALWAYS spread: the inverse is a ~30-project Column chain with no
+    # compiled-kernel variant — expensive per-row work on every session
+    # shape. A/B r4 at sf0.1: parity in calm windows (±5%), but 3.3x
+    # faster under a partial-core steal epoch (the unspread scan
+    # concentrates the chain on few cores, so stealing those cores
+    # stalls the whole query; spreading averages it out).
+    pts = _derived_lonlat(spark, sf_dir, spread=True)
     zoned = (
         with_zone_code_jvm(pts)
         .filter(F.col("zc").isNotNull())

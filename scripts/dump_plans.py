@@ -101,15 +101,28 @@ def main() -> None:
 
     ph = queries()["image_phash_near_dup"](spark, "/root/testdata/sf0.001")
     sections.append((
-        "Image phash near-dup (banded hamming multi-index, round 3)",
-        "4x16-bit bands posexplode to (band_idx, band_val) keys; the "
-        "self-join keys ONLY on those 16-bit band values (at this toy "
-        "input AQE builds a broadcast; at scale both sides are the "
-        "full image set and it becomes a shuffle join on uniform "
-        "keys), then xor+popcount verifies candidates. Exact recall "
-        "for hamming<=3 by pigeonhole; no all-pairs product at any "
-        "scale.",
+        "Image phash near-dup (banded hamming multi-index, chunked r4)",
+        "4x16-bit bands posexplode to (band_idx, band_val) keys; a "
+        "per-bucket row_number window assigns id-range chunks and the "
+        "candidate join keys on (band_idx, band_val, ci, cj) — every "
+        "task bounded by chunk_size^2 pairs even when a degenerate "
+        "corpus collapses millions of rows onto one band value (at "
+        "this toy input AQE builds a broadcast; at scale it is a "
+        "shuffle join), then xor+popcount verifies candidates. Exact "
+        "recall for hamming<=3 by pigeonhole; no all-pairs product at "
+        "any scale.",
         plan_of(ph),
+    ))
+
+    rt = queries()["tile_roundtrip_t6_counts"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Projection roundtrip (forward -> Column inverse -> forward, r4)",
+        "The xy->lonlat direction as pure Column algebra "
+        "(with_aeqd_inverse): the whole resolve+forward+inverse+forward "
+        "chain is one linear run of narrow Projects over the broadcast "
+        "zone maps — no Python anywhere, one aggregation shuffle on "
+        "(zc, tx, ty) ints at the end.",
+        plan_of(rt),
     ))
 
     roi_dec = queries()["images_in_roi_decided"](spark, "/root/testdata/sf0.001")
