@@ -69,4 +69,52 @@ final class Vincenty {
         out[0] = X0[zc] + s * Math.sin(az1);
         out[1] = Y0[zc] + s * Math.cos(az1);
     }
+
+    /** AEQD inverse for zone code zc (the Vincenty DIRECT problem from
+     *  the zone center along azimuth atan2(dx, dy) for distance
+     *  hypot(dx, dy)); writes {lon, lat} into out. Exact
+     *  transliteration of geodesy.geodesic_direct (same tol=1e-13
+     *  sigma fixed-point, same closing formulae) -- the compiled twin
+     *  of functions/geodesy_cols.with_aeqd_inverse. */
+    static void inverse(int zc, double x, double y, double[] out) {
+        double dx = x - X0[zc], dy = y - Y0[zc];
+        double s = Math.hypot(dx, dy);
+        double az1 = Math.atan2(dx, dy);
+        double sinA1 = Math.sin(az1), cosA1 = Math.cos(az1);
+        double tanU1 = (1.0 - FLAT) * Math.tan(Math.toRadians(LAT0[zc]));
+        double cosU1 = 1.0 / Math.sqrt(1.0 + tanU1 * tanU1);
+        double sinU1 = tanU1 * cosU1;
+        double sig1 = Math.atan2(tanU1, cosA1);
+        double sinAlpha = cosU1 * sinA1;
+        double csa = 1.0 - sinAlpha * sinAlpha;
+        double u2 = csa * (A * A - B * B) / (B * B);
+        double ab = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)));
+        double bb = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)));
+        double sig0 = s / (B * ab);
+        double sig = sig0;
+        for (int i = 0; i < 100; i++) {
+            double c2sm = Math.cos(2.0 * sig1 + sig);
+            double ssig = Math.sin(sig);
+            double csig = Math.cos(sig);
+            double delta = bb * ssig * (c2sm + bb / 4.0 * (csig * (-1.0 + 2.0 * c2sm * c2sm)
+                    - bb / 6.0 * c2sm * (-3.0 + 4.0 * ssig * ssig)
+                      * (-3.0 + 4.0 * c2sm * c2sm)));
+            double sigNew = sig0 + delta;
+            double diff = Math.abs(sigNew - sig);
+            sig = sigNew;
+            if (diff < 1e-13) break;
+        }
+        double c2sm = Math.cos(2.0 * sig1 + sig);
+        double ssig = Math.sin(sig);
+        double csig = Math.cos(sig);
+        double tmp = sinU1 * ssig - cosU1 * csig * cosA1;
+        double phi2 = Math.atan2(sinU1 * csig + cosU1 * ssig * cosA1,
+                (1.0 - FLAT) * Math.hypot(sinAlpha, tmp));
+        double lam = Math.atan2(ssig * sinA1, cosU1 * csig - sinU1 * ssig * cosA1);
+        double c = FLAT / 16.0 * csa * (4.0 + FLAT * (4.0 - 3.0 * csa));
+        double L = lam - (1.0 - c) * FLAT * sinAlpha
+                * (sig + c * ssig * (c2sm + c * csig * (-1.0 + 2.0 * c2sm * c2sm)));
+        out[0] = ((LON0[zc] + Math.toDegrees(L) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0;
+        out[1] = Math.toDegrees(phi2);
+    }
 }

@@ -18,6 +18,9 @@ the jar.
 
 SQL functions registered:
   equi7_xy(zc tinyint, lon double, lat double) -> array<double> [x, y]
+  equi7_lonlat(zc tinyint, x double, y double) -> array<double>
+      [lon, lat] — the AEQD inverse (Vincenty direct problem,
+      tol=1e-13), compiled twin of geodesy_cols.with_aeqd_inverse
   equi7_tile_key(zc, lon, lat, ts double) -> bigint packed tile key
       ((floor(x/ts) + 8192) << 14) | (floor(y/ts) + 8192)
   equi7_zone_tile_key(lon, lat, ts) -> bigint (zc << 28) | tile key,
@@ -74,6 +77,9 @@ def kernel_available(spark: SparkSession) -> bool:
             spark.udf.registerJavaFunction(
                 "equi7_zone_tile_key", "equi7.ZoneTileKey", T.LongType()
             )
+            spark.udf.registerJavaFunction(
+                "equi7_lonlat", "equi7.VincentyLonLat", T.ArrayType(T.DoubleType())
+            )
             # Probe through the SAME column-typed wrappers the queries
             # use, with the adversarial dtypes a plain (non-Arrow)
             # session produces (bigint zc, bigint lon/lat) — a literal
@@ -89,6 +95,11 @@ def kernel_available(spark: SparkSession) -> bool:
                 tile_key_col(F.col("zc"), F.col("lon"), F.col("lat"), 600000.0),
                 zone_tile_key_col(F.col("lon"), F.col("lat"), 600000.0),
                 xy_col(F.col("zc"), F.col("lon"), F.col("lat")),
+                lonlat_col(
+                    F.col("zc"),
+                    F.lit(5837287.8).cast("bigint"),
+                    F.lit(2121415.7).cast("bigint"),
+                ),
             ).collect()
             ok = all(v is not None for v in row[0])
         except Exception:
@@ -126,6 +137,13 @@ def unpack_zc(ztkey: Column) -> Column:
 
 def xy_col(zc: Column, lon: Column, lat: Column) -> Column:
     return F.call_udf("equi7_xy", zc.cast("tinyint"), lon.cast("double"), lat.cast("double"))
+
+
+def lonlat_col(zc: Column, x: Column, y: Column) -> Column:
+    """[lon, lat] from (zone code, x, y) — compiled AEQD inverse."""
+    return F.call_udf(
+        "equi7_lonlat", zc.cast("tinyint"), x.cast("double"), y.cast("double")
+    )
 
 
 def unpack_tx(tkey: Column) -> Column:

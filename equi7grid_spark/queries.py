@@ -1537,6 +1537,25 @@ def _aeqd_proj(d: DataFrame) -> DataFrame:
     return with_aeqd_forward(d, "zc", "lon", "lat", "x", "y", carry=["zc"])
 
 
+def _aeqd_inv(d: DataFrame) -> DataFrame:
+    """(zc, x, y) -> (zc, lon, lat). Compiled direct-problem kernel
+    when available (one call/row, tol=1e-13 — agrees with the Column
+    chain < 1e-11 deg, ~6 orders inside the tile-floor margin), else
+    the unrolled Column inverse."""
+    from equi7grid_spark.functions.geodesy_cols import with_aeqd_inverse
+    from equi7grid_spark.operators import kernel
+
+    if kernel.kernel_available(d.sparkSession):
+        return d.withColumn(
+            "_ll", kernel.lonlat_col(F.col("zc"), F.col("x"), F.col("y"))
+        ).select(
+            "zc",
+            F.element_at("_ll", 1).alias("lon"),
+            F.element_at("_ll", 2).alias("lat"),
+        )
+    return with_aeqd_inverse(d, carry=["zc"])
+
+
 def _t6_counts_from_proj(proj: DataFrame) -> DataFrame:
     """(zc, x, y) -> (tilename, subgrid, n); Spark twin of
     _SQL_T6_COUNTS_FROM_PROJ."""
@@ -1584,31 +1603,28 @@ def _oracle_tile_roundtrip() -> str:
 @register("tile_roundtrip_t6_counts", _oracle_tile_roundtrip)
 def q_tile_roundtrip_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection roundtrip closure at table scale, value-oracled over
-    the FULL domain: zone resolve -> AEQD forward -> JVM-side Column
-    inverse (functions/geodesy_cols.with_aeqd_inverse — the xy->lonlat
-    scale path; the pandas UDF remains only for API parity) -> forward
-    again -> per-T6-tile counts. A drift in EITHER direction would land
+    the FULL domain: zone resolve -> AEQD forward -> JVM-side inverse
+    (compiled equi7_lonlat kernel when available, else the unrolled
+    Column chain geodesy_cols.with_aeqd_inverse; the pandas UDF remains
+    only for API parity) -> forward again -> per-T6-tile counts. A drift in EITHER direction would land
     the second projection in different tiles than tile_assign_t6_counts
     computes; the measured closure is < 1e-11 deg, ~5e7x inside the
     tile-floor margin (reference xy_to_lonlat roundtrip semantics,
     tests/test_equi7grid.py:50-99)."""
-    from equi7grid_spark.functions.geodesy_cols import with_aeqd_inverse
     from equi7grid_spark.operators.assign_jvm import with_zone_code_jvm
 
-    # ALWAYS spread: the inverse is a ~30-project Column chain with no
-    # compiled-kernel variant — expensive per-row work on every session
-    # shape. A/B r4 at sf0.1: parity in calm windows (±5%), but 3.3x
-    # faster under a partial-core steal epoch (the unspread scan
-    # concentrates the chain on few cores, so stealing those cores
-    # stalls the whole query; spreading averages it out).
-    pts = _derived_lonlat(spark, sf_dir, spread=True)
+    # spread unless BOTH directions compile: with the jar, the chain is
+    # three kernel calls/row (cheap — the exchange costs more); without
+    # it, the ~30-project Column inverse is exactly the expensive
+    # per-row work spread_small_input exists for, and spreading also
+    # de-risks partial-core steal epochs (A/B r4: 3.3x under steal).
+    pts = _derived_lonlat(spark, sf_dir, spread=_spread_unless_kernel(spark))
     zoned = (
         with_zone_code_jvm(pts)
         .filter(F.col("zc").isNotNull())
         .select("zc", "lon", "lat")
     )
-    inv = with_aeqd_inverse(_aeqd_proj(zoned), carry=["zc"])
-    return _t6_counts_from_proj(_aeqd_proj(inv))
+    return _t6_counts_from_proj(_aeqd_proj(_aeqd_inv(_aeqd_proj(zoned))))
 
 
 @register("lonlat_roundtrip_maxerr", None)

@@ -199,6 +199,46 @@ def test_kernel_xy_matches_numpy(spark):
     assert np.abs(gx - xs).max() < 1e-8 and np.abs(gy - ys).max() < 1e-8
 
 
+def test_kernel_lonlat_matches_numpy(spark):
+    """Compiled AEQD inverse (equi7_lonlat) vs the converged NumPy
+    direct kernel, plus roundtrip closure on the original lonlat."""
+    from equi7grid_spark.geodesy import aeqd_inverse
+    from equi7grid_spark.operators import kernel
+
+    if not kernel.kernel_available(spark):
+        pytest.skip("kernel jar not available")
+    lo, la, zc = _inzone_grid(step=3.5)
+    xs = np.empty(lo.size)
+    ys = np.empty(lo.size)
+    for code in np.unique(zc):
+        m = zc == code
+        xs[m], ys[m] = aeqd_forward(DEFAULT_SYSTEM_ORDER[code], lo[m], la[m])
+    pdf = pd.DataFrame({"zc": zc.astype("int8"), "x": xs, "y": ys})
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            "zc", "x", "y",
+            kernel.lonlat_col(F.col("zc"), F.col("x"), F.col("y")).alias("ll"),
+        )
+        .toPandas()
+    )
+    eln = np.empty(len(out))
+    elt = np.empty(len(out))
+    oz = out["zc"].to_numpy()
+    for code in np.unique(oz):
+        m = oz == code
+        eln[m], elt[m] = aeqd_inverse(
+            DEFAULT_SYSTEM_ORDER[code],
+            out["x"].to_numpy()[m],
+            out["y"].to_numpy()[m],
+        )
+    glon = np.array([v[0] for v in out["ll"]])
+    glat = np.array([v[1] for v in out["ll"]])
+    dlon = np.abs(glon - eln)
+    assert np.minimum(dlon, 360.0 - dlon).max() < 1e-11
+    assert np.abs(glat - elt).max() < 1e-11
+
+
 def test_kernel_boundary_resolve_matches_numpy_every_cell(spark):
     """Round-4 insurance gate (verdict #5): the jar's baked-in zone
     resolver + Vincenty must agree with the NumPy path on zone AND T6
