@@ -49,6 +49,34 @@ def streaming_tile_assignment(
     return assign_tiles(stream, tiling_id=tiling_id)
 
 
+def streaming_roi_select(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    bbox: tuple[float, float, float, float],
+    tiling_id: str = "T6",
+    engine: str = "jvm",
+) -> DataFrame:
+    """Continuous ROI-filtered image selection: streaming tile
+    assignment -> broadcast stream-static LEFT SEMI join against the
+    ROI tile list (the streaming twin of queries.images_in_roi, and
+    the landing-table shape of the reference's search_tiles_in_roi
+    consumption). Stateless row-wise pipeline — append mode, no
+    watermark; the ROI list is catalog-sized so the semi-join stays a
+    broadcast on every microbatch."""
+    from equi7grid_spark.roi import get_tiles_in_geog_bbox
+
+    assigned = streaming_tile_assignment(
+        spark, input_dir, schema, tiling_id, engine
+    )
+    roi_tiles = get_tiles_in_geog_bbox(bbox, tiling_id)
+    tiles_df = spark.createDataFrame(
+        [(t.subgrid, t.tilename) for t in roi_tiles],
+        "subgrid string, tilename string",
+    )
+    return assigned.join(F.broadcast(tiles_df), ["subgrid", "tilename"], "left_semi")
+
+
 def streaming_windowed_event_counts(
     spark: SparkSession,
     input_dir: str,

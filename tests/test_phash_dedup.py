@@ -145,6 +145,38 @@ def test_phash_near_dup_chunked_equals_bruteforce(spark):
     assert len(brute) >= 25
 
 
+def test_phash_near_dup_8_bands_wider_threshold(spark):
+    """n_bands=8 (8-bit bands) extends the pigeonhole guarantee to
+    hamming<=7 — brute-force equality on a seeded population with
+    planted 4..7-bit perturbations (outside the 4-band regime)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    hashes = rng.integers(0, 1 << 63, size=80, dtype=np.int64).tolist()
+    rows = [(f"b{i:03d}", int(h)) for i, h in enumerate(hashes)]
+    for i in range(0, 80, 4):
+        nbits = 4 + (i // 4) % 4
+        mask = 0
+        while bin(mask).count("1") < nbits:
+            mask |= 1 << int(rng.integers(0, 63))
+        rows.append((f"b{i:03d}v", int(np.int64(hashes[i] ^ mask))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup(df, max_hamming=7, n_bands=8).collect()
+    }
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, pa), (ib, pb) = rows[i], rows[j]
+            d = bin((pa ^ pb) & ((1 << 64) - 1)).count("1")
+            if d <= 7:
+                a, b = sorted((ia, ib))
+                brute.add((a, b, d))
+    assert got == brute
+    assert len(brute) >= 20
+
+
 def test_phash_near_dup_degenerate_corpus(spark):
     """The verdict's 100x-scale risk case: a corpus collapsing onto a
     handful of phash values (flat/monochrome images). 600 rows over 3

@@ -230,6 +230,51 @@ def test_streaming_phash_near_dup_matches_batch(spark, tmp_path):
     assert set(got) == expected
 
 
+def test_streaming_roi_select_matches_batch(spark, tmp_path):
+    """The streaming ROI pipeline must select exactly the image_ids the
+    batch semi-join selects on the same landing data."""
+    from pyspark.sql import functions as F
+
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
+    from equi7grid_spark.roi import get_tiles_in_geog_bbox
+    from equi7grid_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_roi_select,
+    )
+
+    bbox = (0.0, 40.0, 30.0, 55.0)
+    imgs = synthetic_images(spark, 3000, with_bytes=False).select(
+        "image_id", "lon", "lat"
+    )
+    src = str(tmp_path / "roi_stream")
+    imgs.write.parquet(src)
+
+    assigned = assign_tiles_jvm(spark.read.parquet(src))
+    roi_tiles = get_tiles_in_geog_bbox(bbox, "T6")
+    tiles_df = spark.createDataFrame(
+        [(t.subgrid, t.tilename) for t in roi_tiles],
+        "subgrid string, tilename string",
+    )
+    expected = {
+        r.image_id
+        for r in assigned.join(
+            F.broadcast(tiles_df), ["subgrid", "tilename"], "left_semi"
+        ).select("image_id").collect()
+    }
+    assert expected  # the bbox actually selects something
+
+    out = streaming_roi_select(
+        spark, src, "image_id string, lon double, lat double", bbox
+    )
+    run_available_now(out, str(tmp_path / "ck_roi"), "stream_roi_sel")
+    got = {
+        r.image_id
+        for r in spark.sql("select image_id from stream_roi_sel").collect()
+    }
+    assert got == expected
+
+
 def test_streaming_phash_duplicate_arrivals_no_duplicate_pairs(spark, tmp_path):
     """An image_id arriving twice must not re-emit its pairs (the batch
     operator's distinct emits each pair once; round-3 emitted dups)."""
