@@ -116,12 +116,14 @@ def main() -> None:
 
     rt = queries()["tile_roundtrip_t6_counts"](spark, "/root/testdata/sf0.001")
     sections.append((
-        "Projection roundtrip (forward -> Column inverse -> forward, r4)",
-        "The xy->lonlat direction as pure Column algebra "
-        "(with_aeqd_inverse): the whole resolve+forward+inverse+forward "
-        "chain is one linear run of narrow Projects over the broadcast "
-        "zone maps — no Python anywhere, one aggregation shuffle on "
-        "(zc, tx, ty) ints at the end.",
+        "Projection roundtrip (forward -> inverse -> forward, r4)",
+        "The xy->lonlat direction JVM-side: with the kernel jar the "
+        "chain is three compiled calls per row (equi7_xy / equi7_lonlat"
+        " / equi7_xy) over the broadcast zone maps; on kernel-less "
+        "sessions both directions fall back to linear runs of narrow "
+        "Column Projects (with_aeqd_forward / with_aeqd_inverse). No "
+        "Python anywhere, one aggregation shuffle on (zc, tx, ty) ints "
+        "at the end.",
         plan_of(rt),
     ))
 
