@@ -95,6 +95,17 @@ def _system_consts(system_order: tuple[str, ...]) -> dict[str, list[float]]:
     }
 
 
+def _out_cols(
+    keep: list[str], zc_col: str, carry: list[str] | None, df: DataFrame
+) -> list[str]:
+    """Output columns: everything kept, minus the auto-prepended zc
+    unless the CALLER asked for it. `carry=[]` must mean "nothing but
+    the computed columns" — a bare `carry or df.columns` would treat
+    the empty list as falsy and leak zc back in."""
+    requested = list(df.columns) if carry is None else list(carry)
+    return [k for k in keep if k != zc_col or zc_col in requested]
+
+
 def _system_consts_direct(system_order: tuple[str, ...]) -> dict[str, list[float]]:
     """Per-zone constants for the DIRECT problem, computed in
     geodesy.geodesic_direct's exact formula order (tanU1 -> cosU1 via
@@ -237,7 +248,7 @@ def with_aeqd_inverse(
         F.col("__sig")
         + Cc * ssig * (c2sm + Cc * csig * (-1.0 + 2.0 * c2sm * c2sm))
     )
-    out_cols = [k for k in keep if k != zc_col or zc_col in (carry or df.columns)]
+    out_cols = _out_cols(keep, zc_col, carry, df)
     return d.select(
         *out_cols,
         (
@@ -405,7 +416,7 @@ def with_aeqd_forward(
         )
         .alias("__az1"),
     )
-    out_cols = [k for k in keep if k != zc_col or zc_col in (carry or df.columns)]
+    out_cols = _out_cols(keep, zc_col, carry, df)
     return d.select(
         *out_cols,
         (zone_const(zc, c["x0"]) + F.col("__s") * F.sin("__az1")).alias(x_col),

@@ -213,13 +213,16 @@ def test_kernel_lonlat_matches_numpy(spark):
     for code in np.unique(zc):
         m = zc == code
         xs[m], ys[m] = aeqd_forward(DEFAULT_SYSTEM_ORDER[code], lo[m], la[m])
-    pdf = pd.DataFrame({"zc": zc.astype("int8"), "x": xs, "y": ys})
+    pdf = pd.DataFrame(
+        {"i": np.arange(lo.size), "zc": zc.astype("int8"), "x": xs, "y": ys}
+    )
     out = (
         spark.createDataFrame(pdf)
         .select(
-            "zc", "x", "y",
+            "i", "zc", "x", "y",
             kernel.lonlat_col(F.col("zc"), F.col("x"), F.col("y")).alias("ll"),
         )
+        .orderBy("i")
         .toPandas()
     )
     eln = np.empty(len(out))
@@ -237,6 +240,12 @@ def test_kernel_lonlat_matches_numpy(spark):
     dlon = np.abs(glon - eln)
     assert np.minimum(dlon, 360.0 - dlon).max() < 1e-11
     assert np.abs(glat - elt).max() < 1e-11
+    # roundtrip closure on the ORIGINAL lonlat (rows aligned via the
+    # explicit index) — catches a convention drift shared by the Java
+    # and NumPy direct kernels
+    rl = np.abs(glon - lo)
+    assert np.minimum(rl, 360.0 - rl).max() < 1e-9
+    assert np.abs(glat - la).max() < 1e-9
 
 
 def test_kernel_boundary_resolve_matches_numpy_every_cell(spark):

@@ -148,18 +148,23 @@ def test_phash_near_dup_chunked_equals_bruteforce(spark):
 def test_phash_near_dup_8_bands_wider_threshold(spark):
     """n_bands=8 (8-bit bands) extends the pigeonhole guarantee to
     hamming<=7 — brute-force equality on a seeded population with
-    planted 4..7-bit perturbations (outside the 4-band regime)."""
+    planted 4..7-bit perturbations (outside the 4-band regime). Hashes
+    span the FULL signed-long range (bit 63 included) so the top band's
+    extraction is exercised with the sign bit set — exactly where a
+    shiftright-vs-shiftrightunsigned mistake would corrupt band values."""
     import numpy as np
 
     rng = np.random.default_rng(17)
-    hashes = rng.integers(0, 1 << 63, size=80, dtype=np.int64).tolist()
+    hashes = rng.integers(-(1 << 63), 1 << 63, size=80, dtype=np.int64).tolist()
     rows = [(f"b{i:03d}", int(h)) for i, h in enumerate(hashes)]
     for i in range(0, 80, 4):
         nbits = 4 + (i // 4) % 4
         mask = 0
         while bin(mask).count("1") < nbits:
-            mask |= 1 << int(rng.integers(0, 63))
-        rows.append((f"b{i:03d}v", int(np.int64(hashes[i] ^ mask))))
+            mask |= 1 << int(rng.integers(0, 64))
+        v = (hashes[i] ^ mask) & ((1 << 64) - 1)  # signed-64 wrap
+        rows.append((f"b{i:03d}v", v - (1 << 64) if v >= (1 << 63) else v))
+    assert any(h < 0 for _, h in rows)
     df = spark.createDataFrame(rows, "image_id string, phash long")
     got = {
         (r.id_a, r.id_b, r.hamming)

@@ -25,7 +25,11 @@ REPO = Path(__file__).resolve().parents[1]
 CRITICAL = (
     "tile_assign_t6_counts,tile_assign_decided_t6_counts,"
     "images_in_roi,images_tile_assign,zone_assign_decided_counts,"
-    "warp_raster_to_tiles,embedding_near_dup"
+    "warp_raster_to_tiles,embedding_near_dup,"
+    # round 4: the compiled-inverse path (equi7_lonlat registration +
+    # Column fallback) is exactly the kernel-boundary surface the
+    # plain-session gate exists for
+    "tile_roundtrip_t6_counts"
 )
 
 
