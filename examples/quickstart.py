@@ -129,6 +129,38 @@ def spark_flows() -> None:
     assert n_pairs >= 28  # the 30 planted lossy re-encodes dominate
     print(f"image near-dup pairs found: {n_pairs}")
 
+    # hot-bucket skew audit (round 4): run before a large dedup to
+    # size phash_near_dup's chunk_size
+    from equi7grid_spark.dedup import phash_band_occupancy
+
+    occ = phash_band_occupancy(compute_phash(both)).first()
+    assert occ.n_rows >= 1
+
+    # -- inverse projection at table scale (round 4): xy -> lonlat as
+    #    JVM Columns; the forward-inverse roundtrip closes
+    from equi7grid_spark.functions.geodesy_cols import with_aeqd_inverse
+
+    order = ("AF", "AN", "AS", "EU", "OC", "NA", "SA")
+    pts = assigned.select(
+        (
+            F.array_position(
+                F.array(*[F.lit(c) for c in order]), F.col("subgrid")
+            )
+            - 1
+        ).cast("tinyint").alias("zc"),
+        "x", "y",
+        F.col("lon").alias("lon0"),
+        F.col("lat").alias("lat0"),
+    ).limit(1000)
+    inv = with_aeqd_inverse(pts, carry=["lon0", "lat0"])
+    dlon_raw = F.abs(F.col("lon") - F.col("lon0"))
+    row = inv.agg(
+        F.max(F.least(dlon_raw, 360.0 - dlon_raw)).alias("dlon"),
+        F.max(F.abs(F.col("lat") - F.col("lat0"))).alias("dlat"),
+    ).collect()[0]
+    assert row.dlon < 1e-6 and row.dlat < 1e-6
+    print(f"roundtrip closure: dlon={row.dlon:.2e} dlat={row.dlat:.2e}")
+
     spark.stop()
     print("spark flows: OK")
 
