@@ -78,7 +78,9 @@ def resolve_zone_sql(src: str, id_col: str) -> str:
 
     lon/lat must already lie in [-180, 180) x [-90, 90] (true for
     every synthesis in queries.py); the engine's Column path feeds raw
-    lon/lat into the parity test under the same precondition.
+    lon/lat into the parity test under the same precondition. Supports
+    DEFAULT_SYSTEM_ORDER only (the cached VALUES body is built for it;
+    every oracled query uses the default order).
     """
     from equi7grid_spark.functions.geodesy_sql import (
         cell_id_sql,
