@@ -350,6 +350,55 @@ def _phash_bands(
     ).select("id", "ph", F.col("pos").alias("band_idx"), F.col("col").alias("band_val"))
 
 
+def _chunked_pair_join(
+    e: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    chunk_size: int,
+) -> DataFrame:
+    """Skew-bounded self-pair enumeration: from `e` with columns
+    (id, *payload_cols, *key_cols), emit every same-key pair once as
+    (id_a, id_b, {payload}_a, {payload}_b) with id_a < id_b.
+
+    Each key bucket splits into id-range chunks of <= chunk_size rows
+    (row_number window — linear per-bucket work) and each row fans out
+    to its chunk-pair duties: LEFT side of (c, j>=c), RIGHT side of
+    (i<=c, c). The join keys on (*key_cols, ci, cj), bounding every
+    task to <= chunk_size^2 candidate pairs no matter how degenerate a
+    bucket is, with exact coverage: chunks are monotone in id, so for a
+    pair in chunks ca < cb only the (ca, cb) key exists and it has the
+    smaller id on the LEFT; for ca == cb both orientations appear and
+    the id_a < id_b filter keeps exactly one. Uniform buckets have one
+    chunk — duties degenerate to the plain (0, 0) self-join."""
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    from pyspark.sql import Window
+
+    bucket = Window.partitionBy(*key_cols)
+    rn = F.row_number().over(bucket.orderBy("id"))
+    m = F.count(F.lit(1)).over(bucket)
+    e = e.select(
+        "id", *payload_cols, *key_cols,
+        F.floor((rn - 1) / chunk_size).alias("_c"),
+        F.floor((m + chunk_size - 1) / chunk_size).alias("_k"),
+    )
+    a = e.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        *key_cols,
+        F.col("_c").alias("ci"),
+        F.explode(F.sequence(F.col("_c"), F.col("_k") - 1)).alias("cj"),
+    )
+    b = e.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        *key_cols,
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_c"))).alias("ci"),
+        F.col("_c").alias("cj"),
+    )
+    return a.join(b, [*key_cols, "ci", "cj"]).filter(F.col("id_a") < F.col("id_b"))
+
+
 def phash_near_dup(
     imgs: DataFrame,
     id_col: str = "image_id",
@@ -397,37 +446,8 @@ def phash_near_dup(
             f"max_hamming={max_hamming} needs > {n_bands - 1} bands for "
             "exact recall (pigeonhole)"
         )
-    if chunk_size < 1:
-        raise ValueError("chunk_size must be >= 1")
-    from pyspark.sql import Window
-
     e = _phash_bands(imgs, id_col, phash_col, n_bands)
-    bucket = Window.partitionBy("band_idx", "band_val")
-    # chunk index (contiguous id ranges) + chunk count per bucket; the
-    # window is linear per-bucket work (count + row_number), never
-    # quadratic — one exchange, reused by both window functions
-    rn = F.row_number().over(bucket.orderBy("id"))
-    m = F.count(F.lit(1)).over(bucket)
-    e = e.select(
-        "id", "ph", "band_idx", "band_val",
-        F.floor((rn - 1) / chunk_size).alias("_c"),
-        F.floor((m + chunk_size - 1) / chunk_size).alias("_k"),
-    )
-    a = e.select(
-        F.col("id").alias("id_a"), F.col("ph").alias("ph_a"),
-        "band_idx", "band_val",
-        F.col("_c").alias("ci"),
-        F.explode(F.sequence(F.col("_c"), F.col("_k") - 1)).alias("cj"),
-    )
-    b = e.select(
-        F.col("id").alias("id_b"), F.col("ph").alias("ph_b"),
-        "band_idx", "band_val",
-        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_c"))).alias("ci"),
-        F.col("_c").alias("cj"),
-    )
-    cand = a.join(b, ["band_idx", "band_val", "ci", "cj"]).filter(
-        F.col("id_a") < F.col("id_b")
-    )
+    cand = _chunked_pair_join(e, ["band_idx", "band_val"], ["ph"], chunk_size)
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return (
         # hamming-verify BEFORE the dedup shuffle: most band collisions
@@ -440,3 +460,60 @@ def phash_near_dup(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def caption_dup_pairs(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    chunk_size: int = 2048,
+) -> DataFrame:
+    """Exact caption-duplicate pairs (id_a, id_b), id_a < id_b — the
+    pair-level view of exact text dedup, for the cross-signal merge
+    (multimodal_near_dup). Buckets on md5(caption) (engine-independent
+    hash) and enumerates within-bucket pairs through the same id-range
+    chunking as phash_near_dup, so a caption shared by millions of
+    rows (boilerplate alt-text is the textual twin of the flat-image
+    phash collapse) is bounded per task. Each qualifying pair is
+    emitted exactly once by construction (single bucket per pair), so
+    no distinct shuffle is needed."""
+    e = imgs.filter(
+        F.col(caption_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("id"), F.md5(caption_col).alias("ch"))
+    return _chunked_pair_join(e, ["ch"], [], chunk_size).select("id_a", "id_b")
+
+
+def multimodal_near_dup(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    chunk_size: int = 2048,
+) -> DataFrame:
+    """Cross-signal near-duplicate pairs for image+caption corpora
+    (the CLIP-style training-table dedup): a pair qualifies when the
+    perceptual hashes are within `max_hamming` (visual near-dup), the
+    captions are byte-identical (textual dup), or both. Returns
+    (id_a, id_b, signal, hamming) with id_a < id_b, signal in
+    {'phash', 'caption', 'both'}, and hamming NULL for caption-only
+    pairs.
+
+    Scale shape: the two signals compute independently (banded hamming
+    join / md5-bucketed pair join — both skew-chunked), and the merge
+    is a full outer join on the pair key, which is TRUE-PAIR sized
+    (tiny next to the corpus), never an all-pairs product."""
+    ph = phash_near_dup(
+        imgs, id_col, phash_col, max_hamming, n_bands, chunk_size
+    )
+    cap = caption_dup_pairs(imgs, id_col, caption_col, chunk_size).withColumn(
+        "_cap", F.lit(True)
+    )
+    merged = ph.join(cap, ["id_a", "id_b"], "full_outer")
+    signal = (
+        F.when(F.col("hamming").isNotNull() & F.col("_cap").isNotNull(), "both")
+        .when(F.col("hamming").isNotNull(), "phash")
+        .otherwise("caption")
+    )
+    return merged.select("id_a", "id_b", signal.alias("signal"), "hamming")

@@ -2125,6 +2125,140 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup(allv, max_hamming=3)
 
 
+_SQL_CAP_MASK8 = (
+    "(1::BIGINT << (img_id % 13)::INT)"
+    " | (1::BIGINT << ((img_id % 13) + 2)::INT)"
+    " | (1::BIGINT << ((img_id % 13) + 16)::INT)"
+    " | (1::BIGINT << ((img_id % 13) + 18)::INT)"
+    " | (1::BIGINT << ((img_id % 13) + 32)::INT)"
+    " | (1::BIGINT << ((img_id % 13) + 34)::INT)"
+    " | (1::BIGINT << ((img_id % 13) + 48)::INT)"
+    " | (1::BIGINT << ((img_id % 13) + 50)::INT)"
+)
+
+
+def _oracle_image_multimodal_near_dup() -> str:
+    """Cross-signal mirror: the phash side replays the banded join
+    (like _oracle_image_phash_near_dup); the caption side models
+    caption equality by the planted group key (base/_cap/_b share the
+    base caption, _v1 gets a unique one — caption text itself is
+    irrelevant to md5-equality semantics); signals merge by FULL JOIN
+    on the pair key exactly like the operator."""
+    from equi7grid_spark.functions.images_sql import synthetic_lonlat_sql
+
+    return f"""
+    WITH {synthetic_lonlat_sql(_N_IMG_ORACLE)},
+    base AS (
+      SELECT img_id, 'img' || lpad(img_id::VARCHAR, 12, '0') AS id, phash AS ph
+      FROM img
+    ),
+    allv AS (
+      SELECT id, ph, img_id AS ck FROM base
+      UNION ALL  -- _v1: hamming-1, caption differs (disjoint neg key)
+      SELECT id || '_v1', xor(ph, 1::BIGINT << (img_id % 63)::INT),
+             -(img_id + 1)
+      FROM base WHERE img_id % 10 = 0
+      UNION ALL  -- _cap: same caption, 2 flipped bits per band (no
+                 -- shared band -> never a phash candidate)
+      SELECT id || '_cap', xor(ph, {_SQL_CAP_MASK8}), img_id
+      FROM base WHERE img_id % 15 = 0
+      UNION ALL  -- _b: same caption AND hamming-1
+      SELECT id || '_b', xor(ph, 1::BIGINT << ((img_id % 62) + 1)::INT),
+             img_id
+      FROM base WHERE img_id % 20 = 0
+    ),
+    bands AS (
+      SELECT id, ph, b AS band_idx, (ph >> (b * 16)::INT) & 65535 AS band_val
+      FROM allv, generate_series(0, 3) AS t(b)
+    ),
+    phpairs AS MATERIALIZED (
+      SELECT id_a, id_b, hamming FROM (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        FROM bands a JOIN bands b USING (band_idx, band_val)
+        WHERE a.id < b.id
+      ) WHERE hamming <= 3
+    ),
+    cappairs AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM allv a JOIN allv b ON a.ck = b.ck AND a.id < b.id
+    )
+    SELECT coalesce(p.id_a, c.id_a) AS id_a,
+           coalesce(p.id_b, c.id_b) AS id_b,
+           CASE WHEN p.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 'both'
+                WHEN p.id_a IS NOT NULL THEN 'phash'
+                ELSE 'caption' END AS signal,
+           p.hamming AS hamming
+    FROM phpairs p FULL JOIN cappairs c
+      ON p.id_a = c.id_a AND p.id_b = c.id_b
+    """
+
+
+@register("image_multimodal_near_dup", _oracle_image_multimodal_near_dup)
+def q_image_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal dedup of an image+caption corpus
+    (dedup.multimodal_near_dup): visual near-dups by banded phash
+    hamming, textual dups by exact caption match, merged with
+    provenance. The fixture plants, per image index i: a hamming-1
+    re-encode with a reworded caption (i%10, 'phash'), a
+    caption-duplicate with a hamming-8 phash (i%15, 'caption' — two
+    flipped bits per band so it is never even a phash candidate), and
+    a near-identical repost sharing BOTH signals (i%20, 'both'). Every
+    pair set is value-exact against the DuckDB mirror."""
+    from equi7grid_spark.dedup import multimodal_near_dup
+    from equi7grid_spark.images import synthetic_images
+
+    base = synthetic_images(spark, _N_IMG_ORACLE, with_bytes=False).select(
+        F.substring("image_id", 4, 12).cast("long").alias("i"),
+        "image_id",
+        "phash",
+        "caption",
+    )
+    # Spark twin of _SQL_CAP_MASK8 (F.shiftleft needs literal counts,
+    # so column-valued shifts go through SQL expressions)
+    cap_mask = " | ".join(
+        f"shiftleft(1L, CAST(i % 13 AS INT){off})"
+        for off in ("", " + 2", " + 16", " + 18", " + 32", " + 34", " + 48", " + 50")
+    )
+    variants = F.array(
+        F.struct(
+            F.col("image_id").alias("image_id"),
+            F.col("phash").alias("phash"),
+            F.col("caption").alias("caption"),
+        ),
+        F.when(
+            F.col("i") % 10 == 0,
+            F.struct(
+                F.concat("image_id", F.lit("_v1")).alias("image_id"),
+                F.expr("phash ^ shiftleft(1L, CAST(i % 63 AS INT))").alias("phash"),
+                F.concat("caption", F.lit(" v1")).alias("caption"),
+            ),
+        ),
+        F.when(
+            F.col("i") % 15 == 0,
+            F.struct(
+                F.concat("image_id", F.lit("_cap")).alias("image_id"),
+                F.expr(f"phash ^ ({cap_mask})").alias("phash"),
+                F.col("caption").alias("caption"),
+            ),
+        ),
+        F.when(
+            F.col("i") % 20 == 0,
+            F.struct(
+                F.concat("image_id", F.lit("_b")).alias("image_id"),
+                F.expr("phash ^ shiftleft(1L, CAST(i % 62 AS INT) + 1)").alias("phash"),
+                F.col("caption").alias("caption"),
+            ),
+        ),
+    )
+    allv = (
+        base.select(F.explode(variants).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("s.image_id", "s.phash", "s.caption")
+    )
+    return multimodal_near_dup(allv)
+
+
 def _oracle_image_phash_band_occupancy() -> str:
     from equi7grid_spark.functions.images_sql import synthetic_lonlat_sql
 

@@ -215,6 +215,47 @@ def test_phash_band_occupancy_audit(spark):
     assert (occ[-1].band_idx, occ[-1].band_val, occ[-1].n_rows) == (1, 16, 1)
 
 
+def test_multimodal_near_dup_signals(spark):
+    """Hand-built corpus covering all three signals: phash-only,
+    caption-only, both — plus an unrelated row emitting nothing."""
+    from equi7grid_spark.dedup import multimodal_near_dup
+
+    base = 0x1234_5678_9ABC_DEF0
+    rows = [
+        ("a", base, "cat on a mat"),
+        ("b", base ^ 0b1, "a different caption"),   # phash-only vs a
+        ("c", base ^ (0xFF << 8), "cat on a mat"),  # caption-only vs a
+        ("d", base ^ 0b10, "cat on a mat"),         # both vs a
+        ("e", 0x0F0F_0F0F_0F0F_0F0F, "unique"),     # nothing
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    got = {
+        (r.id_a, r.id_b): (r.signal, r.hamming)
+        for r in multimodal_near_dup(df).collect()
+    }
+    assert got[("a", "b")] == ("phash", 1)
+    assert got[("a", "c")] == ("caption", None)
+    assert got[("a", "d")] == ("both", 1)
+    assert got[("b", "d")] == ("phash", 2)   # hamming(b,d)=2, captions differ
+    assert got[("c", "d")][0] == "caption"   # hamming(c,d)=9 > 3
+    assert all("e" not in k for k in got)
+
+
+def test_caption_dup_pairs_chunked_closed_form(spark):
+    """90 rows sharing 3 captions with chunk_size=8 (multi-chunk
+    buckets): exactly 3 * C(30,2) pairs, each emitted once."""
+    from equi7grid_spark.dedup import caption_dup_pairs
+
+    rows = [(f"r{i:03d}", 1, f"caption {i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    got = [
+        (r.id_a, r.id_b)
+        for r in caption_dup_pairs(df, chunk_size=8).collect()
+    ]
+    assert len(got) == len(set(got)) == 3 * 30 * 29 // 2
+    assert all(a < b for a, b in got)
+
+
 def test_phash_near_dup_null_rows_dropped(spark):
     rows = [("a", 5), ("b", 5), (None, 5), ("c", None)]
     df = spark.createDataFrame(rows, "image_id string, phash long")
