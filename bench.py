@@ -61,6 +61,7 @@ HEADLINE = [
     "image_decode_stats",
     "image_phash_near_dup",    # banded hamming join (graft flagship op)
     "image_phash_pipeline",    # decode -> DCT phash -> banded join
+    "image_multimodal_near_dup",  # phash OR caption cross-signal dedup
 ]
 
 

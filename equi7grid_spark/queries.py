@@ -1908,6 +1908,28 @@ def q_images_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_IMG_ORACLE = 20000
 
 
+def _host_cached_fixture(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
+    """Materialize a deterministic fixture DataFrame to a host-local
+    parquet once and scan it. Completeness is judged by _SUCCESS (a
+    bare exists() would trust a crashed half-write forever) and
+    publication is an atomic rename of a PID-unique temp dir, so
+    concurrent sessions can't read each other's partial output.
+    Seeded synthesis -> identical rows regardless of who writes."""
+    import os
+    import shutil
+
+    src = f"/tmp/equi7_fixture_{name}.parquet"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        tmp = f"{src}.tmp{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(src, ignore_errors=True)  # crashed half-write, if any
+        try:
+            os.rename(tmp, src)
+        except OSError:  # lost a race to a concurrent complete writer
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(src)
+
+
 def _spark_decided_images(spark: SparkSession) -> DataFrame:
     """Decided-cell subset of the synthetic images table (zc 0..6
     resolved by the broadcast cell map alone; boundary cells dropped)."""
@@ -2256,6 +2278,14 @@ def q_image_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s").isNotNull())
         .select("s.image_id", "s.phash", "s.caption")
     )
+    # The two signal branches shuffle on DIFFERENT keys (band values vs
+    # caption md5), so allv would be computed twice; materialize the
+    # deterministic fixture once per host — in production the dedup
+    # reads a stored table, so scanning twice is the honest shape
+    # (same pattern + atomic publication as image_phash_pipeline).
+    allv = _host_cached_fixture(
+        spark, f"multimodal_variants_{_N_IMG_ORACLE}", allv
+    )
     return multimodal_near_dup(allv)
 
 
@@ -2319,26 +2349,10 @@ def q_image_phash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union below consumes the source twice, and re-running the
     # synthesis per branch would benchmark the fixture generator, not
     # the decode->transcode->phash->dedup pipeline (which in production
-    # reads bytes from a table). Seeded synthesis -> identical rows
-    # regardless of who writes it. Completeness is judged by _SUCCESS
-    # (a bare exists() would trust a crashed half-write forever) and
-    # publication is an atomic rename of a PID-unique temp dir, so
-    # concurrent sessions can't read each other's partial output.
-    import os
-    import shutil
-
-    src = "/tmp/equi7_phash_pipeline_imgs_3000.parquet"
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        tmp = f"{src}.tmp{os.getpid()}"
-        synthetic_images(spark, 3000, with_bytes=True).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        shutil.rmtree(src, ignore_errors=True)  # crashed half-write, if any
-        try:
-            os.rename(tmp, src)
-        except OSError:  # lost a race to a concurrent complete writer
-            shutil.rmtree(tmp, ignore_errors=True)
-    imgs = spark.read.parquet(src)
+    # reads bytes from a table).
+    imgs = _host_cached_fixture(
+        spark, "pipeline_imgs_3000", synthetic_images(spark, 3000, with_bytes=True)
+    )
     tenth = imgs.filter(
         F.substring("image_id", 4, 12).cast("long") % 10 == 0
     )
