@@ -105,6 +105,31 @@ def test_decided_tile_assign_plan_is_jvm_only(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_multimodal_near_dup_plan_shape(spark):
+    """Cross-signal dedup: both signal joins keyed (chunked), the merge
+    a pair-key join — never a cartesian/nested-loop, no Python."""
+    plan = _physical(QUERIES["image_multimodal_near_dup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bench_headline_queries_exist():
+    """Every bench HEADLINE entry must be a registered query — guards
+    renames from silently breaking the driver's per-round bench."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = set(bench.HEADLINE) - set(QUERIES)
+    assert not missing, f"HEADLINE names not in queries(): {missing}"
+
+
 def test_phash_near_dup_plan_joins_on_chunk_keys(spark):
     """Round-4 skew hardening in the plan: the candidate join must key
     on the chunk-pair columns (ci, cj) alongside the band — never a
