@@ -114,6 +114,17 @@ def main() -> None:
         plan_of(ph),
     ))
 
+    mm = queries()["image_multimodal_near_dup"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Cross-signal multimodal dedup (phash OR caption, r4)",
+        "Both signal joins are skew-chunked self-joins on their keys "
+        "(band values + chunk pair / caption md5 + chunk pair); the "
+        "signal merge is a full outer join on the TRUE-PAIR key set — "
+        "tiny next to the corpus — with provenance derived from null "
+        "sides. No cartesian, no Python.",
+        plan_of(mm),
+    ))
+
     rt = queries()["tile_roundtrip_t6_counts"](spark, "/root/testdata/sf0.001")
     sections.append((
         "Projection roundtrip (forward -> inverse -> forward, r4)",
