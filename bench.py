@@ -145,6 +145,13 @@ def _cpu_ticks(n: int) -> tuple[int, int]:
 
 
 STEAL_MAX = float(os.environ.get("BENCH_STEAL_MAX", "0.04"))
+# The scaling pair is the driver's only numeric gate and a 3% steal
+# epoch on the 3-core side alone moves a pair by ~0.1 (r4: pairs
+# 0.754/0.895/0.972 with two sides accepted at 2.3-3.2% steal, r4
+# VERDICT #1) — so scaling-side acceptance is much stricter than the
+# headline queries' 4%.
+SCALING_STEAL_MAX = float(os.environ.get("BENCH_SCALING_STEAL_MAX", "0.015"))
+SCALING_ROUNDS = int(os.environ.get("BENCH_SCALING_ROUNDS", "5"))
 
 
 def _measured_run(n: int) -> tuple[dict, float]:
@@ -159,7 +166,7 @@ def _measured_run(n: int) -> tuple[dict, float]:
     return stats, stats.get("steal_frac", outer)
 
 
-def measure_scaling(rounds: int = 3, max_extra: int = 4) -> dict:
+def measure_scaling(rounds: int = SCALING_ROUNDS, max_extra: int = 4) -> dict:
     """Steal-filtered median-of-paired-rounds estimator.
 
     This VM suffers hypervisor CPU-steal epochs lasting minutes
@@ -168,15 +175,20 @@ def measure_scaling(rounds: int = 3, max_extra: int = 4) -> dict:
     measures the hypervisor, not the engine, and a stolen epoch biases
     the ratio in EITHER direction depending on which side it hits. So
     each pinned run also measures the steal fraction its cpus suffered
-    (/proc/stat delta); a side whose steal exceeds BENCH_STEAL_MAX
-    (default 4%) is re-run (bounded by `max_extra` extra subprocesses
-    per round). The reported efficiency is the median over rounds of
-    near-in-time (4N, N) pairs, with every run's steal fraction
-    recorded in the output for audit."""
+    (/proc/stat delta); a side whose steal exceeds SCALING_STEAL_MAX
+    (default 1.5% — far stricter than the headline queries' 4%,
+    because a 3% epoch on the small side alone moves a pair by ~0.1)
+    is re-run (bounded by `max_extra` extra subprocesses per side).
+    The reported efficiency is the median over `rounds` (default 5)
+    near-in-time (4N, N) pairs; every attempt's steal fraction is
+    recorded, and each pair carries its two ACCEPTED steal fractions
+    plus an over_cap flag, so a sub-0.8 pair is auditable against its
+    steal readings instead of reading as an engine regression."""
     ensure_images()
-    effs, best, steals = [], {}, []
+    effs, best, steals, pair_details = [], {}, [], []
     for r in range(rounds):
-        pair, retries = {}, 0
+        pair, pair_steal, pair_over = {}, {}, False
+        retries = 0
         for n in (4 * SCALE_N, SCALE_N):
             while True:
                 time.sleep(15)
@@ -189,9 +201,10 @@ def measure_scaling(rounds: int = 3, max_extra: int = 4) -> dict:
                     file=sys.stderr,
                 )
                 steals.append(round(steal, 4))  # every attempt, for audit
-                accepted = steal <= STEAL_MAX
+                accepted = steal <= SCALING_STEAL_MAX
                 if accepted or retries >= max_extra:
                     if not accepted:
+                        pair_over = True
                         print(
                             f"# round {r}: accepting stolen run (retries "
                             f"exhausted)",
@@ -204,6 +217,7 @@ def measure_scaling(rounds: int = 3, max_extra: int = 4) -> dict:
                 # later retries can actually outlive one
                 time.sleep(45 * retries)
             pair[n] = rps
+            pair_steal[n] = round(steal, 4)
             cur = best.get(n)
             if cur is None or rps > cur["rows_per_sec"]:
                 best[n] = {
@@ -213,11 +227,21 @@ def measure_scaling(rounds: int = 3, max_extra: int = 4) -> dict:
                 }
         eff = pair[4 * SCALE_N] / (4.0 * pair[SCALE_N])
         effs.append(eff)
+        pair_details.append({
+            "efficiency": round(eff, 3),
+            f"steal_{4*SCALE_N}c": pair_steal[4 * SCALE_N],
+            f"steal_{SCALE_N}c": pair_steal[SCALE_N],
+            "over_cap": pair_over,
+        })
         print(f"# round {r}: pair efficiency {eff:.3f}", file=sys.stderr)
     effs.sort()
     res = {f"local{n}": v for n, v in best.items()}
     res["pair_efficiencies"] = [round(e, 3) for e in effs]
     res["scaling_efficiency"] = round(effs[len(effs) // 2], 3)
+    res["scaling_efficiency_min"] = round(effs[0], 3)
+    res["scaling_efficiency_max"] = round(effs[-1], 3)
+    res["pair_details"] = pair_details
+    res["scaling_steal_cap"] = SCALING_STEAL_MAX
     res["steal_fracs"] = steals
     return res
 
@@ -279,6 +303,20 @@ def main() -> None:
         flagship_run(int(sys.argv[2]))
         return
 
+    # --scaling-only: just the pinned scaling pairs, one JSON line —
+    # for extra scale points (e.g. the 10x-partition sf1-shape run,
+    # BENCH_IMAGES_N + BENCH_SCALING_ROUNDS env) where the headline is
+    # already measured elsewhere
+    if "--scaling-only" in sys.argv[1:]:
+        scaling = measure_scaling()
+        scaling.update({
+            "metric": "scaling_only",
+            "images_n": IMAGES_N,
+            "scaling_pair": [SCALE_N, 4 * SCALE_N],
+        })
+        print(json.dumps(scaling))
+        return
+
     # BENCH_HEADLINE_ONLY=1 skips the pinned scaling pairs — for extra
     # sf points (e.g. the sf1 run) where scaling is sf-independent and
     # already measured by the main run
@@ -309,6 +347,10 @@ def main() -> None:
             "scaling_pair": [SCALE_N, 4 * SCALE_N],
             "scaling_pair_efficiencies": scaling["pair_efficiencies"],
             "scaling_efficiency_n_to_4n": scaling["scaling_efficiency"],
+            "scaling_efficiency_min": scaling["scaling_efficiency_min"],
+            "scaling_efficiency_max": scaling["scaling_efficiency_max"],
+            "scaling_pair_details": scaling["pair_details"],
+            "scaling_steal_cap": scaling["scaling_steal_cap"],
             "scaling_run_steal_fracs": scaling["steal_fracs"],
         })
     out.update({

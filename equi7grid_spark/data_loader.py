@@ -78,7 +78,27 @@ def resource_path(relpath: str) -> str:
     tmp = out.with_suffix(out.suffix + f".tmp{os.getpid()}")
     tmp.write_bytes(payload)
     os.replace(tmp, out)
+    _prune_stale_caches(cache)
     return str(out)
+
+
+def _prune_stale_caches(current: Path) -> None:
+    """Best-effort removal of THIS user's extraction dirs for OTHER
+    archive tags after a successful extraction — a long-lived host that
+    rebuilds the zip repeatedly would otherwise accumulate unbounded
+    /tmp dirs (ADVICE r4). Other users' dirs (different uid suffix)
+    are untouched; failures (a concurrent process still extracting
+    from an old archive) are ignored — the next successful extraction
+    retries."""
+    import shutil
+
+    prefix = f"equi7grid_spark_res_{os.getuid()}_"
+    try:
+        for d in current.parent.iterdir():
+            if d.name.startswith(prefix) and d != current and d.is_dir():
+                shutil.rmtree(d, ignore_errors=True)
+    except OSError:
+        pass
 
 
 @lru_cache(maxsize=None)

@@ -508,7 +508,7 @@ _KNN_TILES_SQL = ", ".join(f"('{n}', {x!r}, {y!r})" for n, x, y in _KNN_TILES)
     "knn_tiles",
     f"""
     WITH d AS ({_SQL_DERIVED_XY}),
-    pts AS (SELECT key, x, y FROM d WHERE key % 97 = 0),
+    pts AS (SELECT DISTINCT key, x, y FROM d WHERE key % 97 = 0),
     tiles(tname, cx, cy) AS (VALUES {_KNN_TILES_SQL}),
     scored AS (
       SELECT key, tname,
@@ -523,17 +523,36 @@ _KNN_TILES_SQL = ", ".join(f"('{n}', {x!r}, {y!r})" for n, x, y in _KNN_TILES)
     """,
 )
 def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _derived_xy(spark, sf_dir).filter(F.col("key") % 97 == 0)
-    tiles = spark.createDataFrame(_KNN_TILES, "tname string, cx double, cy double")
-    j = d.crossJoin(F.broadcast(tiles))
-    d2 = (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")) + (
-        F.col("y") - F.col("cy")
-    ) * (F.col("y") - F.col("cy"))
-    w = Window.partitionBy("key").orderBy(d2.asc(), F.col("tname").asc())
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("key", F.col("rank").cast("int").alias("rank"), "tname")
+    """Map-side top-k (round 5): the tile list is a driver-side
+    constant, so the 3 nearest tiles per point are a per-row array
+    computation — score every tile in one `transform` pass, array_sort
+    the (d2, tname) structs (field order = the window's ORDER BY d2,
+    tname), slice 3, posexplode. Zero exchange beyond the scan — the
+    previous crossJoin+row_number shuffled n_points x n_tiles rows
+    through a per-key window exchange, which at 10^12 points is a
+    36x-amplified shuffle for a result computable map-side.
+
+    The point dedup (the synthetic key derivation collides; the old
+    window silently collapsed duplicates) is the only exchange left —
+    a map-side-partial hash aggregate on the FILTERED points (n/97 of
+    the input), vs the old plan's full n_points x n_tiles window
+    exchange. The DuckDB oracle mirrors it (SELECT DISTINCT)."""
+    d = _derived_xy(spark, sf_dir).filter(F.col("key") % 97 == 0).dropDuplicates(["key"])
+    x, y = F.col("x"), F.col("y")
+    scored = F.array(
+        *[
+            F.struct(
+                ((x - F.lit(cx)) * (x - F.lit(cx)) + (y - F.lit(cy)) * (y - F.lit(cy))).alias("d2"),
+                F.lit(n).alias("tname"),
+            )
+            for n, cx, cy in _KNN_TILES
+        ]
+    )
+    top3 = F.slice(F.array_sort(scored), 1, 3)
+    return d.select("key", F.posexplode(top3)).select(
+        "key",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("col.tname").alias("tname"),
     )
 
 
@@ -1811,14 +1830,18 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_images_in_roi_full() -> str:
     """FULL-domain image-in-ROI oracle: splitmix64 location synthesis
-    + parity zone resolve + Vincenty mirror + tilename IN roi list."""
+    + parity zone resolve + Vincenty mirror + (subgrid, tilename) IN
+    roi pair list — the PAIR key mirrors the engine's semi-join key
+    (tilenames are zone-local strings, so a bare tilename IN list
+    could admit a same-named tile from another subgrid)."""
     from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
     from equi7grid_spark.functions.images_sql import synthetic_lonlat_sql
     from equi7grid_spark.functions.zones_sql import resolve_zone_sql
     from equi7grid_spark.roi import get_tiles_in_geog_bbox
 
-    names = ", ".join(
-        f"'{t.tilename}'" for t in get_tiles_in_geog_bbox(_IMG_ROI_BBOX, "T6")
+    pairs = ", ".join(
+        f"('{t.subgrid}', '{t.tilename}')"
+        for t in get_tiles_in_geog_bbox(_IMG_ROI_BBOX, "T6")
     )
     return f"""
     WITH {synthetic_lonlat_sql(_N_IMG_ORACLE)},
@@ -1831,7 +1854,7 @@ def _oracle_images_in_roi_full() -> str:
       FROM agg
     )
     SELECT subgrid, tilename, n AS n_images
-    FROM cnt WHERE tilename IN ({names})
+    FROM cnt WHERE (subgrid, tilename) IN ({pairs})
     """
 
 
@@ -1908,17 +1931,27 @@ def q_images_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_IMG_ORACLE = 20000
 
 
-def _host_cached_fixture(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
+def _host_cached_fixture(
+    spark: SparkSession, name: str, df: DataFrame, params: str = ""
+) -> DataFrame:
     """Materialize a deterministic fixture DataFrame to a host-local
     parquet once and scan it. Completeness is judged by _SUCCESS (a
     bare exists() would trust a crashed half-write forever) and
     publication is an atomic rename of a PID-unique temp dir, so
     concurrent sessions can't read each other's partial output.
-    Seeded synthesis -> identical rows regardless of who writes."""
+    Seeded synthesis -> identical rows regardless of who writes.
+
+    The cache path carries os.getuid() (a second user on the host must
+    not collide on permissions) and an md5 tag of `params` — callers
+    pass the synthesis parameters/version string, so editing the
+    variant-synthesis logic invalidates the cache instead of silently
+    reusing stale fixture rows (ADVICE r4)."""
+    import hashlib
     import os
     import shutil
 
-    src = f"/tmp/equi7_fixture_{name}.parquet"
+    tag = hashlib.md5(params.encode()).hexdigest()[:10]
+    src = f"/tmp/equi7_fixture_{os.getuid()}_{name}_{tag}.parquet"
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         tmp = f"{src}.tmp{os.getpid()}"
         df.write.mode("overwrite").parquet(tmp)
@@ -1994,8 +2027,9 @@ def _oracle_images_in_roi_decided() -> str:
     from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
     from equi7grid_spark.roi import get_tiles_in_geog_bbox
 
-    names = ", ".join(
-        f"'{t.tilename}'" for t in get_tiles_in_geog_bbox(_IMG_ROI_BBOX, "T6")
+    pairs = ", ".join(
+        f"('{t.subgrid}', '{t.tilename}')"
+        for t in get_tiles_in_geog_bbox(_IMG_ROI_BBOX, "T6")
     )
     return f"""
     WITH {_sql_decided_images()},
@@ -2007,7 +2041,7 @@ def _oracle_images_in_roi_decided() -> str:
       FROM agg
     )
     SELECT subgrid, tilename, n AS n_images
-    FROM cnt WHERE tilename IN ({names})
+    FROM cnt WHERE (subgrid, tilename) IN ({pairs})
     """
 
 
@@ -2284,7 +2318,10 @@ def q_image_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads a stored table, so scanning twice is the honest shape
     # (same pattern + atomic publication as image_phash_pipeline).
     allv = _host_cached_fixture(
-        spark, f"multimodal_variants_{_N_IMG_ORACLE}", allv
+        spark,
+        f"multimodal_variants_{_N_IMG_ORACLE}",
+        allv,
+        params=f"n={_N_IMG_ORACLE};v1%10 ham1;cap%15 {_SQL_CAP_MASK8};b%20 ham1",
     )
     return multimodal_near_dup(allv)
 
@@ -2351,7 +2388,10 @@ def q_image_phash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the decode->transcode->phash->dedup pipeline (which in production
     # reads bytes from a table).
     imgs = _host_cached_fixture(
-        spark, "pipeline_imgs_3000", synthetic_images(spark, 3000, with_bytes=True)
+        spark,
+        "pipeline_imgs_3000",
+        synthetic_images(spark, 3000, with_bytes=True),
+        params="synthetic_images(3000, with_bytes=True, seed=42)",
     )
     tenth = imgs.filter(
         F.substring("image_id", 4, 12).cast("long") % 10 == 0

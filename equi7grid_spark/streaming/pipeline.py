@@ -238,13 +238,18 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
     try:
         q = _start("complete")
     except AnalysisException as exc:
-        # fall back ONLY on the output-mode rejection — re-raising
-        # anything else (unresolved column, bad checkpoint, table
-        # conflicts) keeps the real error visible instead of showing
-        # append mode's unrelated second failure
-        if "output mode" not in str(exc).lower():
-            raise
-        q = _start("append")
+        # Complete mode is rejected EAGERLY at start() for exactly the
+        # non-aggregated streams that need append, before any data is
+        # processed — so falling back to append on any start()-time
+        # AnalysisException is safe. A genuine error (unresolved
+        # column, bad checkpoint) fails append too; re-raise the
+        # append failure chained from the complete one so both
+        # messages stay visible (the r4 substring match on 'output
+        # mode' broke on any Spark rewording of the rejection).
+        try:
+            q = _start("append")
+        except AnalysisException as exc2:
+            raise exc2 from exc
     q.awaitTermination()
     return q
 

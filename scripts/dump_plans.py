@@ -125,6 +125,18 @@ def main() -> None:
         plan_of(mm),
     ))
 
+    kq = queries()["knn_tiles"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "knn_tiles query (map-side top-k, r5)",
+        "The tile list is a driver constant, so the 3 nearest tiles "
+        "per point are computed per-row: score all tiles in one "
+        "array of structs, array_sort, slice 3, posexplode. The ONLY "
+        "exchange is the point-dedup hash aggregate on the filtered "
+        "keys — the r4 crossJoin + row_number window exchange "
+        "(n_points x n_tiles rows) is gone.",
+        plan_of(kq),
+    ))
+
     rt = queries()["tile_roundtrip_t6_counts"](spark, "/root/testdata/sf0.001")
     sections.append((
         "Projection roundtrip (forward -> inverse -> forward, r4)",
