@@ -16,6 +16,7 @@ candidate verification joins are restricted to same-bucket pairs.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -483,6 +484,120 @@ def caption_dup_pairs(
     return _chunked_pair_join(e, ["ch"], [], chunk_size).select("id_a", "id_b")
 
 
+# hyperplane-LSH banding for the embedding signal: deterministic
+# integer-valued planes so the DuckDB oracle can ship them as literal
+# arrays (sign-of-dot consumption is summation-order-safe per the
+# q_embedding_near_dup precedent — |dot| margins are O(1) while
+# cross-engine summation-order noise is ~1e-13 relative)
+EMB_N_BANDS = 8
+EMB_N_PLANES = 16  # 65536-way buckets — occupancy << 1 at fixture scale
+
+_EMB_BUCKET_UDFS: dict = {}
+
+
+def emb_plane_value(band: int, plane: int, dim: int) -> float:
+    """Deterministic hyperplane coefficient for (band, plane, dim
+    index) — shared verbatim by the Arrow banding pass and the SQL
+    literal arrays in the oracle."""
+    return float(((band * 53 + plane * 37 + dim * 101) % 19) - 9)
+
+
+def _emb_buckets_udf(col: Column, n_bands: int, n_planes: int) -> Column:
+    """array<int> of per-band sign-LSH bucket ids, ONE vectorized Arrow
+    matmul pass per batch (V @ P.T, sign bits packed per band). Planes
+    are built lazily from the first batch's dimensionality."""
+    key = (n_bands, n_planes)
+    if key not in _EMB_BUCKET_UDFS:
+        import numpy as np
+        import pandas as pd
+
+        @F.pandas_udf("array<int>")
+        def buckets(v: pd.Series) -> pd.Series:
+            if not len(v):
+                return pd.Series([], dtype=object)
+            V = np.array(v.tolist(), dtype=np.float64)
+            dim = V.shape[1]
+            P = np.array(
+                [
+                    [emb_plane_value(b, p, d) for d in range(dim)]
+                    for b in range(n_bands)
+                    for p in range(n_planes)
+                ],
+                dtype=np.float64,
+            )
+            S = (V @ P.T) > 0  # (n, n_bands*n_planes)
+            w = (1 << np.arange(n_planes)).astype(np.int64)
+            out = np.einsum(
+                "nbp,p->nb", S.reshape(len(V), n_bands, n_planes), w
+            ).astype(np.int32)
+            return pd.Series(list(out))
+
+        _EMB_BUCKET_UDFS[key] = buckets
+    return _EMB_BUCKET_UDFS[key](col)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential HOF dot product — off the hot path (candidate pairs
+    only); summation order matches DuckDB's list_dot_product for the
+    round-9 cosine parity."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, s: p * s), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def embedding_near_dup_pairs(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    embedding_col: str = "embedding",
+    threshold: float = 0.98,
+    n_bands: int = EMB_N_BANDS,
+    n_planes: int = EMB_N_PLANES,
+    chunk_size: int = 2048,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold, via hyperplane-LSH banding:
+    n_bands independent n_planes-bit sign signatures; rows sharing a
+    (band, bucket) are candidates; ONLY candidates get the exact
+    cosine verify. Identical vectors collide in every band, so
+    exact-duplicate recall is 1.0 by construction; near-but-not-equal
+    recall is a (n_bands, n_planes) trade chosen by the caller's
+    threshold (see q_embedding_near_dup for the banding-width
+    discussion). Candidate enumeration goes through the shared
+    skew-chunked pair join — a degenerate corpus collapsing onto one
+    embedding (the vector twin of the flat-image phash collapse)
+    bounds every task at chunk_size^2 pairs. The shuffle keys on
+    (band, bucket) ints; no all-pairs product anywhere."""
+    e = imgs.filter(
+        F.col(embedding_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(embedding_col).cast("array<double>").alias("v"),
+    )
+    b = e.select(
+        "id",
+        F.posexplode(_emb_buckets_udf(F.col("v"), n_bands, n_planes)).alias(
+            "band", "bucket"
+        ),
+    )
+    cand = (
+        _chunked_pair_join(b, ["band", "bucket"], [], chunk_size)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    j = cand.join(ea, "id_a").join(eb, "id_b")
+    va, vb = F.col("va"), F.col("vb")
+    cos = F.try_divide(
+        _dot(va, vb), F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb))
+    )
+    return (
+        j.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 9).alias("cosine"))
+    )
+
+
 def multimodal_near_dup(
     imgs: DataFrame,
     id_col: str = "image_id",
@@ -491,19 +606,33 @@ def multimodal_near_dup(
     max_hamming: int = 3,
     n_bands: int = 4,
     chunk_size: int = 2048,
+    embedding_col: str | None = None,
+    cos_threshold: float = 0.98,
+    emb_n_bands: int = EMB_N_BANDS,
+    emb_n_planes: int = EMB_N_PLANES,
 ) -> DataFrame:
-    """Cross-signal near-duplicate pairs for image+caption corpora
-    (the CLIP-style training-table dedup): a pair qualifies when the
-    perceptual hashes are within `max_hamming` (visual near-dup), the
-    captions are byte-identical (textual dup), or both. Returns
-    (id_a, id_b, signal, hamming) with id_a < id_b, signal in
-    {'phash', 'caption', 'both'}, and hamming NULL for caption-only
-    pairs.
+    """Cross-signal near-duplicate pairs for image+caption(+embedding)
+    corpora (the CLIP-style training-table dedup): a pair qualifies
+    when the perceptual hashes are within `max_hamming` (visual
+    near-dup), the captions are byte-identical (textual dup), or —
+    when `embedding_col` is given — the embedding cosine reaches
+    `cos_threshold` (semantic near-dup).
 
-    Scale shape: the two signals compute independently (banded hamming
-    join / md5-bucketed pair join — both skew-chunked), and the merge
-    is a full outer join on the pair key, which is TRUE-PAIR sized
-    (tiny next to the corpus), never an all-pairs product."""
+    Two-signal form (embedding_col=None, unchanged from round 4):
+    returns (id_a, id_b, signal, hamming) with signal in {'phash',
+    'caption', 'both'} and hamming NULL for caption-only pairs.
+
+    Three-signal form: returns (id_a, id_b, signal, hamming, cosine)
+    where signal is the '+'-joined list of contributing signals in
+    fixed order ('phash', 'caption', 'embed' — e.g.
+    'phash+caption+embed'), hamming is NULL unless the phash signal
+    fired, cosine NULL unless the embedding signal fired.
+
+    Scale shape: the signals compute independently (banded hamming
+    join / md5-bucketed pair join / hyperplane-LSH-banded cosine join
+    — all skew-chunked), and the merges are full outer joins on the
+    pair key, which is TRUE-PAIR sized (tiny next to the corpus),
+    never an all-pairs product."""
     ph = phash_near_dup(
         imgs, id_col, phash_col, max_hamming, n_bands, chunk_size
     )
@@ -511,9 +640,24 @@ def multimodal_near_dup(
         "_cap", F.lit(True)
     )
     merged = ph.join(cap, ["id_a", "id_b"], "full_outer")
-    signal = (
-        F.when(F.col("hamming").isNotNull() & F.col("_cap").isNotNull(), "both")
-        .when(F.col("hamming").isNotNull(), "phash")
-        .otherwise("caption")
+    if embedding_col is None:
+        signal = (
+            F.when(F.col("hamming").isNotNull() & F.col("_cap").isNotNull(), "both")
+            .when(F.col("hamming").isNotNull(), "phash")
+            .otherwise("caption")
+        )
+        return merged.select("id_a", "id_b", signal.alias("signal"), "hamming")
+    emb = embedding_near_dup_pairs(
+        imgs, id_col, embedding_col, cos_threshold, emb_n_bands,
+        emb_n_planes, chunk_size,
     )
-    return merged.select("id_a", "id_b", signal.alias("signal"), "hamming")
+    merged = merged.join(emb, ["id_a", "id_b"], "full_outer")
+    signal = F.concat_ws(
+        "+",
+        F.when(F.col("hamming").isNotNull(), "phash"),
+        F.when(F.col("_cap").isNotNull(), "caption"),
+        F.when(F.col("cosine").isNotNull(), "embed"),
+    )
+    return merged.select(
+        "id_a", "id_b", signal.alias("signal"), "hamming", "cosine"
+    )

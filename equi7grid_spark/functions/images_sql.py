@@ -128,3 +128,32 @@ def synthetic_lonlat_sql(n: int, seed: int = 42) -> str:
       FROM u_t
     )
     """
+
+
+def embedding_from_key_sql(
+    rel: str, id_col: str, key_col: str, dim: int = 16, salt: int = 1000
+) -> str:
+    """CTE body chain ending in `emb` (<id_col>, v DOUBLE[dim]) —
+    value-exact twin of images.embedding_from_key: explode the dims,
+    ONE splitmix64 chain over (key + salt + d), re-aggregate with
+    list(... ORDER BY d). The dim explode keeps the chain linear (one
+    set of CTE steps total, not one per dimension — the layered-
+    projection planning trap in CLAUDE.md)."""
+    x = _add64(
+        _add64(f"CAST({key_col} AS UBIGINT)", f"CAST({salt} AS UBIGINT)"),
+        "CAST(_ed AS UBIGINT)",
+    )
+    dims = f"""
+      SELECT {id_col} AS _eid, _ed, {x} AS _ex
+      FROM {rel}, generate_series(0, {dim - 1}) AS _edt(_ed)
+    """
+    chain = _sm_chain("edims_t", "_eid, _ed", "_ex", "_eh")
+    return f"""
+    edims_t AS ({dims}),
+    embh_t AS ({chain}),
+    emb AS MATERIALIZED (
+      SELECT _eid AS {id_col},
+             list({_u01("_eh")} * 2.0 - 1.0 ORDER BY _ed) AS v
+      FROM embh_t GROUP BY _eid
+    )
+    """

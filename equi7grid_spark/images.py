@@ -137,3 +137,39 @@ def synthetic_images(
             yield make_batch(pdf["id"].to_numpy(), seed=seed, with_bytes=with_bytes)
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=SCHEMA)
+
+
+# -- deterministic embedding synthesis (fixture for the embedding
+# dedup signal; SQL twin in functions/images_sql.embedding_from_key_sql)
+
+_EMB_UDFS: dict = {}
+
+
+def embedding_from_key(col, dim: int = 16, salt: int = 1000):
+    """array<double> Column: a deterministic dim-vector derived from a
+    non-negative BIGINT key — v[d] = u01(splitmix64(key + salt + d))
+    * 2 - 1. Rows sharing a key share an embedding bit-for-bit (the
+    planted 'embed' near-dup signal); different keys give independent
+    vectors. One vectorized Arrow pass; pure uint64 wrap arithmetic,
+    mirrored value-exactly in DuckDB."""
+    from pyspark.sql import functions as F
+
+    key = (dim, salt)
+    if key not in _EMB_UDFS:
+
+        @F.pandas_udf("array<double>")
+        def emb(k: pd.Series) -> pd.Series:
+            if not len(k):
+                return pd.Series([], dtype=object)
+            with np.errstate(over="ignore"):
+                K = (
+                    k.to_numpy(dtype=np.int64).astype(np.uint64)[:, None]
+                    + np.uint64(salt)
+                    + np.arange(dim, dtype=np.uint64)[None, :]
+                )
+                h = _splitmix64(K)
+            v = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
+            return pd.Series(list(v))
+
+        _EMB_UDFS[key] = emb
+    return _EMB_UDFS[key](col)

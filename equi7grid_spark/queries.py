@@ -2326,6 +2326,235 @@ def q_image_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_near_dup(allv)
 
 
+# phash mask for the embed-only variant: 2 flipped bits per 16-bit band
+# at positions (img_id%11)+{1,3,...} — never a phash candidate of its
+# base (pigeonhole needs one agreeing band); max position 10+51=61
+# stays under DuckDB's range-checked bit-62 shift ceiling (CLAUDE.md)
+_SQL_EMB_MASK8 = (
+    "(1::BIGINT << ((img_id % 11) + 1)::INT)"
+    " | (1::BIGINT << ((img_id % 11) + 3)::INT)"
+    " | (1::BIGINT << ((img_id % 11) + 17)::INT)"
+    " | (1::BIGINT << ((img_id % 11) + 19)::INT)"
+    " | (1::BIGINT << ((img_id % 11) + 33)::INT)"
+    " | (1::BIGINT << ((img_id % 11) + 35)::INT)"
+    " | (1::BIGINT << ((img_id % 11) + 49)::INT)"
+    " | (1::BIGINT << ((img_id % 11) + 51)::INT)"
+)
+
+_EMB_DIM_MM = 16
+
+
+def _oracle_image_multimodal_embed_near_dup() -> str:
+    """Three-signal mirror: phash side replays the banded hamming join;
+    caption side joins on the planted group key ck; embedding side
+    replays the hyperplane-LSH banding LITERALLY (plane arrays emitted
+    from dedup.emb_plane_value, sign-of-dot bucket bits, candidate
+    join on (band, bucket), exact cosine on candidates only) over
+    embeddings synthesized value-exactly from the ek key
+    (images_sql.embedding_from_key_sql — bit-exact splitmix64 twin).
+    Signals merge through two FULL JOINs in the engine's order with
+    concat_ws provenance."""
+    from equi7grid_spark.dedup import EMB_N_BANDS, EMB_N_PLANES, emb_plane_value
+    from equi7grid_spark.functions.images_sql import (
+        embedding_from_key_sql,
+        synthetic_lonlat_sql,
+    )
+
+    def plane(b: int, p: int) -> str:
+        vals = ",".join(
+            repr(emb_plane_value(b, p, d)) for d in range(_EMB_DIM_MM)
+        )
+        return f"[{vals}]::DOUBLE[]"
+
+    def bucket_expr(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane(b, p)}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(EMB_N_PLANES)
+        )
+
+    ebands_union = "\n      UNION ALL ".join(
+        f"SELECT id, {b} AS band, {bucket_expr(b)} AS bucket FROM emb"
+        for b in range(EMB_N_BANDS)
+    )
+    return f"""
+    WITH {synthetic_lonlat_sql(_N_IMG_ORACLE)},
+    base AS (
+      SELECT img_id, 'img' || lpad(img_id::VARCHAR, 12, '0') AS id, phash AS ph
+      FROM img
+    ),
+    allv AS MATERIALIZED (
+      SELECT id, ph, img_id AS ck, ph AS ek FROM base
+      UNION ALL  -- _v1: hamming-1, unique caption, unrelated embedding
+      SELECT id || '_v1', xor(ph, 1::BIGINT << (img_id % 63)::INT),
+             -(img_id + 1), xor(ph, 1)
+      FROM base WHERE img_id % 10 = 0
+      UNION ALL  -- _cap: same caption; 2 flips/band; unrelated embedding
+      SELECT id || '_cap', xor(ph, {_SQL_CAP_MASK8}), img_id, xor(ph, 2)
+      FROM base WHERE img_id % 15 = 0
+      UNION ALL  -- _emb: same embedding; 2 flips/band; unique caption
+      SELECT id || '_emb', xor(ph, {_SQL_EMB_MASK8}), -(img_id + 100001), ph
+      FROM base WHERE img_id % 12 = 0
+      UNION ALL  -- _all: hamming-1 AND same caption AND same embedding
+      SELECT id || '_all', xor(ph, 1::BIGINT << ((img_id % 62) + 1)::INT),
+             img_id, ph
+      FROM base WHERE img_id % 20 = 0
+    ),
+    bands AS (
+      SELECT id, ph, b AS band_idx, (ph >> (b * 16)::INT) & 65535 AS band_val
+      FROM allv, generate_series(0, 3) AS t(b)
+    ),
+    phpairs AS MATERIALIZED (
+      SELECT id_a, id_b, hamming FROM (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        FROM bands a JOIN bands b USING (band_idx, band_val)
+        WHERE a.id < b.id
+      ) WHERE hamming <= 3
+    ),
+    cappairs AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM allv a JOIN allv b ON a.ck = b.ck AND a.id < b.id
+    ),
+    {embedding_from_key_sql("allv", "id", "ek", _EMB_DIM_MM)},
+    ebands AS MATERIALIZED (
+      {ebands_union}
+    ),
+    ecand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM ebands a JOIN ebands b USING (band, bucket)
+      WHERE a.id < b.id
+    ),
+    epairs AS MATERIALIZED (
+      SELECT id_a, id_b, round(cosx, 9) AS cosine FROM (
+        SELECT c.id_a, c.id_b,
+               list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))) AS cosx
+        FROM ecand c JOIN emb ea ON ea.id = c.id_a
+                     JOIN emb eb ON eb.id = c.id_b
+      ) WHERE cosx >= 0.98
+    ),
+    pc AS MATERIALIZED (
+      SELECT coalesce(p.id_a, c.id_a) AS id_a,
+             coalesce(p.id_b, c.id_b) AS id_b,
+             p.hamming AS hamming,
+             (c.id_a IS NOT NULL) AS has_cap
+      FROM phpairs p FULL JOIN cappairs c
+        ON p.id_a = c.id_a AND p.id_b = c.id_b
+    )
+    SELECT coalesce(pc.id_a, e.id_a) AS id_a,
+           coalesce(pc.id_b, e.id_b) AS id_b,
+           concat_ws('+',
+             CASE WHEN pc.hamming IS NOT NULL THEN 'phash' END,
+             CASE WHEN pc.has_cap THEN 'caption' END,
+             CASE WHEN e.cosine IS NOT NULL THEN 'embed' END) AS signal,
+           pc.hamming AS hamming, e.cosine AS cosine
+    FROM pc FULL JOIN epairs e
+      ON pc.id_a = e.id_a AND pc.id_b = e.id_b
+    """
+
+
+@register(
+    "image_multimodal_embed_near_dup", _oracle_image_multimodal_embed_near_dup
+)
+def q_image_multimodal_embed_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THREE-signal dedup of a CLIP-style (image, caption, embedding)
+    corpus (dedup.multimodal_near_dup with embedding_col): visual
+    near-dups by banded phash hamming, textual dups by exact caption
+    match, semantic dups by hyperplane-LSH-banded cosine >= 0.98 —
+    merged with '+'-joined provenance. The fixture plants
+    signal-exclusive variants for ALL three signals, per image index
+    i: a hamming-1 re-encode with reworded caption and fresh embedding
+    (i%10 -> 'phash'), a caption duplicate with hamming-8 phash and
+    fresh embedding (i%15 -> 'caption'), an embedding duplicate
+    (identical vector -> cosine 1, guaranteed banding recall) with
+    hamming-8 phash and unique caption (i%12 -> 'embed'), and a repost
+    sharing all three (i%20 -> 'phash+caption+embed'). Cross-variant
+    coincidence pairs (mask overlaps at hamming<=3, same-i variant
+    caption groups) are emitted identically by both engines — the
+    oracle mirrors the synthesis, the banding, and the merge order
+    value-exactly. Embeddings derive from the ek key (base phash;
+    xor-perturbed for the unrelated variants — xor, not +1, so ANSI
+    Spark can't overflow)."""
+    from equi7grid_spark.dedup import multimodal_near_dup
+    from equi7grid_spark.images import embedding_from_key, synthetic_images
+
+    base = synthetic_images(spark, _N_IMG_ORACLE, with_bytes=False).select(
+        F.substring("image_id", 4, 12).cast("long").alias("i"),
+        "image_id",
+        "phash",
+        "caption",
+    )
+    cap_mask = " | ".join(
+        f"shiftleft(1L, CAST(i % 13 AS INT){off})"
+        for off in ("", " + 2", " + 16", " + 18", " + 32", " + 34", " + 48", " + 50")
+    )
+    emb_mask = " | ".join(
+        f"shiftleft(1L, CAST(i % 11 AS INT) + {off})"
+        for off in (1, 3, 17, 19, 33, 35, 49, 51)
+    )
+
+    def var(suffix: str, ph_expr: str, cap_col, ek_expr: str):
+        return F.struct(
+            F.concat("image_id", F.lit(suffix)).alias("image_id"),
+            F.expr(ph_expr).alias("phash"),
+            cap_col.alias("caption"),
+            F.expr(ek_expr).alias("ek"),
+        )
+
+    variants = F.array(
+        F.struct(
+            F.col("image_id").alias("image_id"),
+            F.col("phash").alias("phash"),
+            F.col("caption").alias("caption"),
+            F.col("phash").alias("ek"),
+        ),
+        F.when(
+            F.col("i") % 10 == 0,
+            var("_v1", "phash ^ shiftleft(1L, CAST(i % 63 AS INT))",
+                F.concat("caption", F.lit(" v1")), "phash ^ 1L"),
+        ),
+        F.when(
+            F.col("i") % 15 == 0,
+            var("_cap", f"phash ^ ({cap_mask})", F.col("caption"), "phash ^ 2L"),
+        ),
+        F.when(
+            F.col("i") % 12 == 0,
+            var("_emb", f"phash ^ ({emb_mask})",
+                F.concat("caption", F.lit(" emb")), "phash"),
+        ),
+        F.when(
+            F.col("i") % 20 == 0,
+            var("_all", "phash ^ shiftleft(1L, CAST(i % 62 AS INT) + 1)",
+                F.col("caption"), "phash"),
+        ),
+    )
+    allv = (
+        base.select(F.explode(variants).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("s.image_id", "s.phash", "s.caption", "s.ek")
+        .withColumn(
+            "embedding", embedding_from_key(F.col("ek"), dim=_EMB_DIM_MM)
+        )
+        .drop("ek")
+    )
+    # three signal branches scan the fixture on three different keys —
+    # materialize once per host (same rationale as the 2-signal query)
+    allv = _host_cached_fixture(
+        spark,
+        f"mm_embed_variants_{_N_IMG_ORACLE}",
+        allv,
+        params=(
+            f"n={_N_IMG_ORACLE};dim={_EMB_DIM_MM};v1%10;cap%15 {_SQL_CAP_MASK8};"
+            f"emb%12 {_SQL_EMB_MASK8};all%20;ek=xor"
+        ),
+    )
+    return multimodal_near_dup(allv, embedding_col="embedding")
+
+
 def _oracle_image_phash_band_occupancy() -> str:
     from equi7grid_spark.functions.images_sql import synthetic_lonlat_sql
 

@@ -255,6 +255,7 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
 
 
 _PHASH_OUT_SCHEMA = "id_a string, id_b string, hamming int"
+_MM_OUT_SCHEMA = "id_a string, id_b string, signal string, hamming int"
 _PHASH_STATE_SCHEMA = "ids array<string>, phs array<long>, tss array<long>"
 
 
@@ -282,7 +283,10 @@ def streaming_phash_near_dup(
 ) -> DataFrame:
     """Custom stateful streaming operator #2: continuous near-duplicate
     image detection over a stream of perceptual hashes
-    (the streaming twin of dedup.phash_near_dup).
+    (the streaming twin of dedup.phash_near_dup). Since round 5 this
+    delegates to streaming_multimodal_pairs (caption signal disabled)
+    and projects away the constant 'phash' signal column — one
+    bucket-state implementation serves both operators.
 
     Shape: the 64-bit phash explodes JVM-side into n_bands 16-bit band
     keys; state lives PER (band_idx, band_val) bucket
@@ -292,12 +296,53 @@ def streaming_phash_near_dup(
     band values exactly like the batch operator. Every arriving hash
     compares only against its own bucket (the pigeonhole property
     makes that exact for hamming <= n_bands-1 within the horizon).
+    See streaming_multimodal_pairs for the state/prune/cap semantics."""
+    return streaming_multimodal_pairs(
+        spark,
+        input_dir,
+        schema,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        watermark=watermark,
+        max_bucket_rows=max_bucket_rows,
+        include_caption=False,
+    ).select("id_a", "id_b", "hamming")
 
-    Exactly-once pair emission WITHOUT cross-group coordination: a pair
-    agreeing on several bands would be emitted by several groups, so
-    each group emits only if ITS band index is the LOWEST band on which
-    the two hashes agree (both full hashes are in hand; the check is
-    pure arithmetic).
+
+def streaming_multimodal_pairs(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str = "image_id string, ts timestamp, phash long, caption string",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    watermark: str = "1 hour",
+    max_bucket_rows: int = 100_000,
+    include_caption: bool = True,
+) -> DataFrame:
+    """Custom stateful streaming operator #3 (round 5): continuous
+    CROSS-SIGNAL near-duplicate detection — the streaming twin of
+    dedup.multimodal_near_dup. Emits one row PER (pair, signal):
+    (id_a, id_b, signal in {'phash','caption'}, hamming — NULL for
+    caption rows); merging a pair's signals ('both') is a stateless
+    sink-side grouping (the batch-equality test does exactly that),
+    because the two signals live in DIFFERENT state buckets and
+    cross-bucket coordination inside the stream would need a second
+    stateful operator for a pure relabeling.
+
+    The caption signal rides the SAME bucket-state machinery as the
+    phash bands: caption rows land on a sentinel band index
+    (band_idx = n_bands) whose bucket key is the first 60 md5 bits of
+    the caption and whose stored "hash" is the second 60 bits — an
+    arriving caption pairs with every in-horizon bucket entry whose
+    second half also matches (120 md5 bits total, the streaming
+    equivalent of the batch md5-equality contract). Exactly-once per
+    caption pair is automatic (a caption lives in exactly one bucket).
+
+    Exactly-once PHASH pair emission WITHOUT cross-group coordination:
+    a pair agreeing on several bands would be emitted by several
+    groups, so each group emits only if ITS band index is the LOWEST
+    band on which the two hashes agree (both full hashes are in hand;
+    the check is pure arithmetic).
 
     Matches older->newer within the horizon; pairs whose members arrive
     farther apart than the watermark are not emitted (documented
@@ -328,15 +373,27 @@ def streaming_phash_near_dup(
 
     def fn(key, pdfs, state):
         band_idx = int(key[0])
-        out_a, out_b, out_h = [], [], []
+        is_cap = band_idx >= n_bands  # the caption sentinel band
+        out_a, out_b, out_s, out_h = [], [], [], []
 
         def pair_against(ids, phs, tss, rid, rph, lo):
             """Vectorized: emit (rid, ids[k]) for every in-horizon
-            entry within max_hamming whose LOWEST agreeing band is this
-            group's band (the exactly-once rule)."""
+            entry that matches under this band's rule — caption band:
+            stored md5-half equals the arrival's (the bucket key
+            already matched the other half); phash bands: hamming
+            within max_hamming AND this is the LOWEST agreeing band
+            (the exactly-once rule)."""
             if not len(phs):
                 return
             x = phs ^ rph
+            if is_cap:
+                for k in np.nonzero((x == 0) & (tss >= lo))[0]:
+                    a, b = sorted((rid, ids[k]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append("caption")
+                    out_h.append(None)
+                return
             d = _popcount64(x)
             ok = (d <= max_hamming) & (tss >= lo)
             if not ok.any():
@@ -349,6 +406,7 @@ def streaming_phash_near_dup(
                 a, b = sorted((rid, ids[k]))
                 out_a.append(a)
                 out_b.append(b)
+                out_s.append("phash")
                 out_h.append(int(d[k]))
 
         if state.hasTimedOut:
@@ -410,13 +468,14 @@ def streaming_phash_near_dup(
                 live = tss >= newest - 2 * horizon_us
                 if int(live.sum()) > max_bucket_rows:
                     raise RuntimeError(
-                        f"streaming_phash_near_dup: bucket (band {band_idx}, "
+                        f"streaming bucket-state dedup: bucket (band {band_idx}, "
                         f"val {int(key[1])}) holds {int(live.sum())} rows within "
                         f"2x the '{watermark}' horizon (cap {max_bucket_rows}). "
-                        "The corpus is collapsing onto few phash values; "
+                        "The corpus is collapsing onto few "
+                        f"{'caption' if is_cap else 'phash'} values; "
                         "shorten the watermark, raise max_bucket_rows, or "
-                        "dedup this stream in batch (dedup.phash_near_dup "
-                        "chunks hot buckets)."
+                        "dedup this stream in batch (the batch operators "
+                        "chunk hot buckets)."
                     )
                 state.update((
                     [i for i, m in zip(ids, live.tolist()) if m],
@@ -426,7 +485,12 @@ def streaming_phash_near_dup(
                 # cleared only when every retained entry is dead for
                 # any non-late arrival (watermark >= newest + 2h)
                 state.setTimeoutTimestamp(newest // 1000 + 2 * (horizon_us // 1000))
-        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": np.array(out_h, dtype="int32")})
+        yield pd.DataFrame({
+            "id_a": out_a,
+            "id_b": out_b,
+            "signal": out_s,
+            "hamming": pd.array(out_h, dtype="Int32"),
+        })
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
     p = F.col("phash")
@@ -436,18 +500,40 @@ def streaming_phash_near_dup(
             for i in range(n_bands)
         ]
     )
-    exploded = stream.select(
+    exploded = stream.filter(
+        p.isNotNull() & F.col("image_id").isNotNull()
+    ).select(
         "image_id", "ts", "phash", F.posexplode(bands)
     ).select(
         "image_id", "ts", "phash",
         F.col("pos").alias("band_idx"), F.col("col").alias("band_val"),
     )
+    if include_caption:
+        # 128-bit md5 split into a 60-bit bucket key (hex chars 1-15)
+        # and a 60-bit stored verify half (chars 17-31) — both
+        # engine-independent and collision-equivalent to the batch
+        # md5-equality contract
+        md5 = F.md5("caption")
+
+        def _fold(start: int):
+            return F.conv(F.substring(md5, start, 15), 16, 10).cast("long")
+
+        cap_rows = stream.filter(
+            F.col("caption").isNotNull() & F.col("image_id").isNotNull()
+        ).select(
+            "image_id",
+            "ts",
+            _fold(17).alias("phash"),
+            F.lit(n_bands).alias("band_idx"),
+            _fold(1).alias("band_val"),
+        )
+        exploded = exploded.unionByName(cap_rows)
     return (
         exploded.withWatermark("ts", watermark)
         .groupBy("band_idx", "band_val")
         .applyInPandasWithState(
             fn,
-            _PHASH_OUT_SCHEMA,
+            _MM_OUT_SCHEMA,
             _PHASH_STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,

@@ -261,3 +261,61 @@ def test_phash_near_dup_null_rows_dropped(spark):
     df = spark.createDataFrame(rows, "image_id string, phash long")
     got = phash_near_dup(df).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [("a", "b", 0)]
+
+def test_multimodal_three_signal(spark):
+    """Hand-built corpus covering every single signal and the full
+    combination in the 3-signal form (embedding_col given): provenance
+    strings are '+'-joined in fixed phash/caption/embed order; hamming
+    NULL unless phash fired, cosine NULL unless embed fired."""
+    from equi7grid_spark.dedup import multimodal_near_dup
+
+    base = 0x1234_5678_9ABC_DEF0
+    v1 = [float(d + 1) for d in range(8)]          # shared by a, e2, f
+    v2 = [float((d * 7) % 5 - 2) for d in range(8)]
+    v3 = [1.0] + [0.0] * 7
+    rows = [
+        ("a", base, "cat on a mat", v1),
+        ("b", base ^ 0b1, "a different caption", v2),     # phash-only
+        ("c", base ^ (0xFF << 8), "cat on a mat", v3),    # caption-only
+        ("e2", base ^ (0xF0F0 | (0xF0F0 << 16)), "another one", v1),  # embed-only
+        ("f", base ^ 0b10, "cat on a mat", v1),           # all three
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, phash long, caption string, embedding array<double>"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.signal, r.hamming, r.cosine)
+        for r in multimodal_near_dup(df, embedding_col="embedding").collect()
+    }
+    assert got[("a", "b")][:2] == ("phash", 1) and got[("a", "b")][2] is None
+    assert got[("a", "c")] == ("caption", None, None)
+    assert got[("a", "e2")][0] == "embed" and got[("a", "e2")][2] == 1.0
+    assert got[("a", "f")] == ("phash+caption+embed", 1, 1.0)
+    assert got[("e2", "f")][0] == "embed"   # identical vectors, ham 10, caps differ
+    # 2-signal form unchanged (back-compat)
+    got2 = {
+        (r.id_a, r.id_b): r.signal for r in multimodal_near_dup(df).collect()
+    }
+    assert got2[("a", "f")] == "both"
+
+
+def test_embedding_near_dup_pairs_identical_and_chunked(spark):
+    """Identical vectors are found with recall 1.0 (they share every
+    band bucket) even under multi-chunk hot buckets; sub-threshold
+    candidates are verified away."""
+    from equi7grid_spark.dedup import embedding_near_dup_pairs
+
+    shared = [float(d % 3 + 1) for d in range(8)]
+    rows = [(f"r{i:03d}", shared) for i in range(40)] + [
+        ("x1", [1.0, -1.0] * 4),
+        ("x2", [-1.0, 1.0] * 4),   # cosine(x1,x2) = -1: never a pair
+    ]
+    df = spark.createDataFrame(rows, "image_id string, embedding array<double>")
+    got = [
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs(df, chunk_size=8).collect()
+    ]
+    pairs = {(a, b) for a, b, _ in got}
+    assert len(got) == len(pairs) == 40 * 39 // 2
+    assert all(c == 1.0 for _, _, c in got)
+    assert all("x1" not in p and "x2" not in p for pair in pairs for p in pair)

@@ -341,3 +341,77 @@ def test_duration_us_rejects_unknown_unit():
         _duration_us("1 hr")
     with pytest.raises(ValueError, match="cannot parse duration"):
         _duration_us("soon")
+
+
+def test_streaming_multimodal_pairs_matches_batch(spark, tmp_path):
+    """6th streaming==batch twin: streaming_multimodal_pairs' per-
+    (pair, signal) events, grouped by pair at the sink, must equal
+    dedup.multimodal_near_dup's merged output (signal + hamming) on
+    the same landing data — covering phash-only, caption-only, 'both'
+    pairs, multi-row caption groups and multi-band phash agreement."""
+    import numpy as np
+
+    from equi7grid_spark.dedup import multimodal_near_dup
+    from equi7grid_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_multimodal_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    hashes = rng.integers(0, 1 << 63, size=90, dtype=np.int64).tolist()
+    rows = [(f"m{i:03d}", int(h), f"caption {i}") for i, h in enumerate(hashes)]
+    for i in range(0, 90, 6):
+        nbits = 1 + (i // 6) % 3
+        mask = 0
+        while bin(mask).count("1") < nbits:
+            mask |= 1 << int(rng.integers(0, 63))
+        # phash near-dup, reworded caption -> 'phash'
+        rows.append((f"m{i:03d}v", int(np.int64(hashes[i] ^ mask)), f"re {i}"))
+    for i in range(0, 90, 9):
+        # same caption, far phash -> 'caption' (3-row groups for i%18==0)
+        far = int(rng.integers(0, 1 << 63))
+        rows.append((f"m{i:03d}c", far, f"caption {i}"))
+        if i % 18 == 0:
+            rows.append((f"m{i:03d}c2", int(rng.integers(0, 1 << 63)), f"caption {i}"))
+    # identical phash AND caption -> 'both'
+    rows.append(("mboth", int(hashes[3]), "caption 3"))
+
+    batch_df = spark.createDataFrame(
+        rows, "image_id string, phash long, caption string"
+    )
+    expected = {
+        (r.id_a, r.id_b): (r.signal, r.hamming)
+        for r in multimodal_near_dup(batch_df).collect()
+    }
+
+    src = str(tmp_path / "mm_stream")
+    ts_rows = [
+        (iid, f"2026-01-01 10:{i // 60:02d}:{i % 60:02d}", ph, cap)
+        for i, (iid, ph, cap) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        ts_rows, "image_id string, ts_s string, phash long, caption string"
+    ).selectExpr(
+        "image_id", "CAST(ts_s AS TIMESTAMP) AS ts", "phash", "caption"
+    ).write.parquet(src)
+
+    out = streaming_multimodal_pairs(spark, src, watermark="1 hour")
+    run_available_now(out, str(tmp_path / "ck_mm"), "stream_mm_pairs")
+    got_rows = spark.sql("select * from stream_mm_pairs").collect()
+    per_signal = [(r.id_a, r.id_b, r.signal, r.hamming) for r in got_rows]
+    assert len(per_signal) == len(set(per_signal)), "signal event duplicated"
+    # sink-side merge: signals per pair -> batch provenance naming
+    merged: dict = {}
+    for id_a, id_b, sig, ham in per_signal:
+        cur = merged.setdefault((id_a, id_b), {"sigs": set(), "hamming": None})
+        cur["sigs"].add(sig)
+        if ham is not None:
+            cur["hamming"] = ham
+    got = {
+        k: (
+            "both" if v["sigs"] == {"phash", "caption"} else next(iter(v["sigs"])),
+            v["hamming"],
+        )
+        for k, v in merged.items()
+    }
+    assert got == expected
