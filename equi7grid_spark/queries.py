@@ -1779,30 +1779,121 @@ def q_warp_raster_to_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "subgrid", "tilename", "n_valid").orderBy("tilename")
 
 
-@register("ann_ivf_kmeans", None)
+_IVF_K = 8
+_IVF_ITERS = 2
+_IVF_DIM = 64
+
+
+def _oracle_ann_ivf_kmeans() -> str:
+    """Unrolled-CTE mirror of the quantized Lloyd's chain
+    (operators/kmeans.py): EVERY step of init / assignment / centroid
+    update is exact integer arithmetic (sums ≤ 2^48, exact in BIGINT
+    and in IEEE double), so the chain is bit-identical cross-engine
+    regardless of summation order — the property that made the
+    round-1 float KMeans un-oracle-able. Assignment distances are
+    dims-exploded integer SUMs (order-free); the centroid mean
+    floor((2s+n)/(2n)) uses floor() over double division (Python //
+    floors, DuckDB // truncates — floor() matches Python; the
+    quotient's distance from an integer is ≥ 1/(2n) ≫ double
+    rounding at oracle scale, so the floor is exact). The final
+    cosine top-k mirrors ann_lsh_bucketed's arithmetic."""
+    from equi7grid_spark.operators.kmeans import Q_BITS
+
+    scale = float(1 << Q_BITS)
+    dmax = _IVF_DIM - 1
+
+    def assign(prev_cd: str, out: str) -> str:
+        return f"""
+    {out} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM (
+          SELECT qd.vec_id, cd.cell,
+                 sum((qd.q - cd.qc) * (qd.q - cd.qc)) AS dist
+          FROM qd JOIN {prev_cd} cd ON qd.d = cd.d
+          GROUP BY qd.vec_id, cd.cell
+        )
+      ) WHERE rn = 1
+    )"""
+
+    def update(a: str, prev_cd: str, out: str) -> str:
+        return f"""
+    {out} AS MATERIALIZED (
+      SELECT p.cell, p.d, coalesce(u.qc, p.qc) AS qc
+      FROM {prev_cd} p LEFT JOIN (
+        SELECT {a}.cell, qd.d,
+               CAST(floor((2 * sum(qd.q) + count(*)) / (2.0 * count(*)))
+                    AS BIGINT) AS qc
+        FROM {a} JOIN qd ON {a}.vec_id = qd.vec_id
+        GROUP BY {a}.cell, qd.d
+      ) u ON u.cell = p.cell AND u.d = p.d
+    )"""
+
+    iter_ctes = []
+    prev = "c0d"
+    for i in range(1, _IVF_ITERS + 1):
+        iter_ctes.append(assign(prev, f"a{i}"))
+        iter_ctes.append(update(f"a{i}", prev, f"c{i}d"))
+        prev = f"c{i}d"
+    iter_ctes.append(assign(prev, "fin"))
+    chain = ",".join(iter_ctes)
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {scale!r} + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    qd AS MATERIALIZED (
+      SELECT vec_id, d, qv[d + 1] AS q
+      FROM e, generate_series(0, {dmax}) AS t(d)
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv
+      FROM e ORDER BY vec_id LIMIT {_IVF_K}
+    ),
+    c0d AS MATERIALIZED (
+      SELECT cell, d, qv[d + 1] AS qc
+      FROM c0, generate_series(0, {dmax}) AS t(d)
+    ),{chain},
+    q AS (SELECT vec_id AS qid, cell AS qcell FROM fin WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, q.qcell, cf.vec_id AS cid,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY list_dot_product(eq.v, ec.v)
+                 / (sqrt(list_dot_product(eq.v, eq.v))
+                    * sqrt(list_dot_product(ec.v, ec.v))) DESC,
+               cf.vec_id
+             ) AS rank
+      FROM q
+      JOIN fin cf ON cf.cell = q.qcell AND cf.vec_id <> q.qid
+      JOIN e eq ON eq.vec_id = q.qid
+      JOIN e ec ON ec.vec_id = cf.vec_id
+    )
+    SELECT qid, qcell::INT AS cell, rank::INT AS rank, cid
+    FROM scored WHERE rank <= 3
+    """
+
+
+@register("ann_ivf_kmeans", _oracle_ann_ivf_kmeans)
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: MLlib KMeans (iterative, seeded) trains the coarse
-    quantizer; candidates restricted to the query's cell before the
-    exact cosine top-k. Rows-only oracle (iterative algorithm)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """IVF-style ANN under a VALUE-EXACT oracle (round 5): the coarse
+    quantizer is the deterministic quantized Lloyd's
+    (operators/kmeans.quantized_kmeans — integer-exact init/assign/
+    update, order-independent hence partitioning-independent and
+    DuckDB-mirrorable as unrolled CTEs); candidates restrict to the
+    query's cell before the exact cosine top-k. Replaces the round-1
+    MLlib KMeans whose k-means|| init kept this rows-only."""
     from pyspark.sql import Window
 
-    # NOT spread: k-means|| initialization samples depend on the input
-    # partitioning, so a core-count-dependent repartition would make
-    # this rows-only query's output machine-dependent (the driver
-    # contract requires determinism); the fit itself is tiny.
-    # NULL embeddings are untrainable — filter before the fit.
+    from equi7grid_spark.operators.kmeans import quantized_kmeans
+
     e = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
-    ).withColumn(
-        "vec", array_to_vector(F.transform("embedding", lambda v: v.cast("double")))
-    )
-    km = KMeans(k=8, seed=42, maxIter=10, featuresCol="vec", predictionCol="cell")
-    model = km.fit(e)
-    assigned = model.transform(e).select(
-        "vec_id", F.col("cell"), vector_to_array("vec").alias("v")
-    )
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assigned, _ = quantized_kmeans(e, k=_IVF_K, update_iters=_IVF_ITERS)
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("cell").alias("qcell"), F.col("v").alias("qv")
     )
@@ -1824,7 +1915,12 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("_c", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("qid", F.col("rank").cast("int").alias("rank"), "cid")
+        .select(
+            "qid",
+            F.col("qcell").cast("int").alias("cell"),
+            F.col("rank").cast("int").alias("rank"),
+            "cid",
+        )
     )
 
 
