@@ -44,6 +44,7 @@ def run(
     *,
     resume: bool = True,
     engine: str = "jvm",
+    incremental_commit: bool = False,
 ) -> dict:
     t0 = time.time()
     # AQE's per-stage re-planning adds ~2s of scheduler idle to this short
@@ -61,12 +62,18 @@ def run(
 
     if output_root:
         table = IcebergLiteTable(output_root)
-        manifest = table.write_partitioned(
-            joined,
-            "subgrid",
-            meta={"input": input_path, "tiling_id": tiling_id, "job": "assign_and_join"},
-            resume=resume,
-        )
+        meta = {"input": input_path, "tiling_id": tiling_id, "job": "assign_and_join"}
+        if incremental_commit:
+            # one manifest flip per subgrid: a kill mid-job resumes
+            # with the committed continents skipped (scripts/
+            # resume_kill_run.py is the at-scale evidence run)
+            manifest = table.write_partitioned_incremental(
+                joined, "subgrid", meta=meta, resume=resume
+            )
+        else:
+            manifest = table.write_partitioned(
+                joined, "subgrid", meta=meta, resume=resume
+            )
         total = manifest["total_rows"]
         stats = {
             "tiles": int(total),
@@ -91,6 +98,7 @@ def main() -> None:
     ap.add_argument("--tiling-id", default="T6")
     ap.add_argument("--output", default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--incremental-commit", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
     spark = get_spark(app_name="equi7_assign_and_join", master=args.master)
@@ -100,6 +108,7 @@ def main() -> None:
         args.tiling_id,
         args.output,
         resume=not args.no_resume,
+        incremental_commit=args.incremental_commit,
     )
     print(json.dumps(stats))
     spark.stop()

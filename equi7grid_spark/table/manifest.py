@@ -148,6 +148,67 @@ class IcebergLiteTable:
         manifest["skipped_resume"] = sorted(done)
         return manifest
 
+    def write_partitioned_incremental(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        *,
+        meta: dict | None = None,
+        resume: bool = True,
+        group_size: int = 1,
+        max_groups: int | None = None,
+        materialize: bool = True,
+    ) -> dict:
+        """Partition-level checkpointing: one snapshot + manifest flip
+        per group of `group_size` partition values (deterministic
+        sorted order). A job killed between commits — or mid-write,
+        leaving an orphan snapshot dir — resumes with every COMMITTED
+        partition skipped and the orphan garbage-collected; the
+        single-flip write_partitioned is atomic but all-or-nothing, so
+        it cannot hand progress across a mid-job crash.
+
+        `materialize=True` localCheckpoints the input once so each
+        group's filter scans the materialized result instead of
+        re-running the full lineage per group — right for aggregate-
+        sized outputs (the flagship's per-tile counts); callers
+        writing row-level data at cluster scale should persist to
+        scratch storage themselves and pass materialize=False (the
+        per-group filters then push down to that scan).
+        `max_groups` bounds how many groups THIS call commits (test
+        hook for simulated crashes). Returns the final manifest plus
+        newly_written / skipped_resume accumulated across groups."""
+        if resume:
+            self.gc_uncommitted()
+        done = self.committed_partitions() if resume else set()
+        if materialize:
+            df = df.localCheckpoint()
+        vals = sorted(
+            str(r[0])
+            for r in df.select(partition_col).distinct().collect()
+            if r[0] is not None
+        )
+        todo = [v for v in vals if v not in done]
+        skipped = sorted(set(vals) & done)
+        written: list[str] = []
+        manifest = self.current_manifest() or {
+            "partitions": [], "total_rows": 0, "snapshot_id": None,
+        }
+        groups = [
+            todo[i : i + group_size] for i in range(0, len(todo), group_size)
+        ]
+        if max_groups is not None:
+            groups = groups[:max_groups]
+        for group in groups:
+            part_df = df.filter(F.col(partition_col).isin(group))
+            manifest = self.write_partitioned(
+                part_df, partition_col, meta=meta, resume=False
+            )
+            written.extend(manifest["newly_written"])
+        manifest = dict(manifest)
+        manifest["newly_written"] = sorted(written)
+        manifest["skipped_resume"] = skipped
+        return manifest
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Union of the COMMITTED snapshot directories only — files from
         an uncommitted (crashed) write are never visible."""

@@ -42,3 +42,46 @@ def test_read_before_any_commit_raises(spark, tmp_path):
     t = IcebergLiteTable(tmp_path / "empty")
     with pytest.raises(FileNotFoundError):
         t.read(spark)
+
+
+def test_incremental_commit_kill_resume_bench_shape(spark, tmp_path):
+    """Partition-level resume on the BENCH-SHAPED pipeline (synthetic
+    images -> jvm tile assignment -> catalog join -> subgrid-partitioned
+    sink): a run that dies after 3 per-subgrid commits resumes with
+    exactly those subgrids skipped, and the resumed table equals an
+    uninterrupted run row-for-row. scripts/resume_kill_run.py repeats
+    this with a real SIGKILL at the 192M-row bench scale."""
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.operators.assign_jvm import tile_counts_jvm
+    from equi7grid_spark.operators.join import join_tile_catalog
+
+    imgs = synthetic_images(spark, 200_000, with_bytes=False)
+    joined = join_tile_catalog(tile_counts_jvm(imgs), spark, "T6", how="left")
+
+    # victim run: dies (max_groups) after 3 of the 7 subgrid commits
+    t = IcebergLiteTable(tmp_path / "tbl")
+    m1 = t.write_partitioned_incremental(joined, "subgrid", max_groups=3)
+    committed = sorted(t.committed_partitions())
+    assert len(committed) == 3 and m1["newly_written"] == committed
+
+    # plus a crash INSIDE group 4: data landed, flip didn't
+    orphan = t.data_dir / "snap-c0ffee"
+    joined.filter(joined.subgrid == "NA").write.partitionBy("subgrid").parquet(
+        str(orphan)
+    )
+
+    # resume: orphan gc'd, committed subgrids skipped at partition level
+    m2 = t.write_partitioned_incremental(joined, "subgrid")
+    assert m2["skipped_resume"] == committed
+    assert len(m2["skipped_resume"]) == 3
+    assert sorted(m2["newly_written"] + committed) == sorted(
+        p["partition"] for p in t.current_manifest()["partitions"]
+    )
+    assert not orphan.exists()
+
+    # uninterrupted twin: identical rows
+    t2 = IcebergLiteTable(tmp_path / "tbl_ref")
+    t2.write_partitioned(joined, "subgrid", resume=False)
+    got = sorted(map(tuple, t.read(spark).collect()))
+    ref = sorted(map(tuple, t2.read(spark).collect()))
+    assert got == ref
