@@ -62,7 +62,13 @@ HEADLINE = [
     "image_phash_near_dup",    # banded hamming join (graft flagship op)
     "image_phash_pipeline",    # decode -> DCT phash -> banded join
     "image_multimodal_near_dup",  # phash OR caption cross-signal dedup
+    "image_multimodal_embed_near_dup",  # + embedding LSH signal (r5)
 ]
+
+
+MAX_PARTITION_BYTES = int(
+    os.environ.get("BENCH_MAX_PARTITION_BYTES", str(16 * 1024 * 1024))
+)
 
 
 def _session(n_threads: int, app: str):
@@ -72,7 +78,7 @@ def _session(n_threads: int, app: str):
         app_name=app,
         master=f"local[{n_threads}]",
         shuffle_partitions=2 * n_threads,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(MAX_PARTITION_BYTES)},
     )
 
 
@@ -312,6 +318,7 @@ def main() -> None:
         scaling.update({
             "metric": "scaling_only",
             "images_n": IMAGES_N,
+            "max_partition_bytes": MAX_PARTITION_BYTES,
             "scaling_pair": [SCALE_N, 4 * SCALE_N],
         })
         print(json.dumps(scaling))

@@ -161,6 +161,30 @@ def main() -> None:
         plan_of(roi_dec),
     ))
 
+    mme = queries()["image_multimodal_embed_near_dup"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Three-signal multimodal dedup (phash OR caption OR embedding, r5)",
+        "The embedding signal adds a hyperplane-LSH banding pass (one "
+        "Arrow matmul per batch -> (band, bucket) keys), the shared "
+        "skew-chunked pair join, and an exact-cosine verify on "
+        "candidates only; the three signal pair sets merge through two "
+        "TRUE-PAIR-sized full outer joins. Still no cartesian: every "
+        "shuffle keys on band values, caption md5s, or LSH buckets.",
+        plan_of(mme),
+    ))
+
+    ivf = queries()["ann_ivf_kmeans"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "IVF ANN with quantized Lloyd's coarse quantizer (r5)",
+        "The final plan shows only the cell assignment (per-row argmin "
+        "over k broadcast literal centroids — zero shuffle) feeding the "
+        "broadcast query-side cosine top-k; each training iteration ran "
+        "as ONE groupBy(cell) with k*dim map-side-partial integer "
+        "aggregates, k*dim scalars to the driver, lineage truncated by "
+        "a localCheckpoint of the input.",
+        plan_of(ivf),
+    ))
+
     # partition pruning on the iceberg-lite sink layout
     from equi7grid_spark.table.manifest import IcebergLiteTable
 
