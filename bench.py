@@ -194,8 +194,12 @@ def measure_scaling(rounds: int = SCALING_ROUNDS, max_extra: int = 4) -> dict:
     effs, best, steals, pair_details = [], {}, [], []
     for r in range(rounds):
         pair, pair_steal, pair_over = {}, {}, False
-        retries = 0
         for n in (4 * SCALE_N, SCALE_N):
+            retries = 0  # budget is per side, per the docstring
+            # on retry exhaustion accept the LOWEST-steal attempt seen,
+            # not the last one — a retry loop that ends inside a steal
+            # epoch must not discard an earlier near-clean measurement
+            side_best = None  # (steal, stats, rps)
             while True:
                 time.sleep(15)
                 stats, steal = _measured_run(n)
@@ -207,15 +211,18 @@ def measure_scaling(rounds: int = SCALING_ROUNDS, max_extra: int = 4) -> dict:
                     file=sys.stderr,
                 )
                 steals.append(round(steal, 4))  # every attempt, for audit
-                accepted = steal <= SCALING_STEAL_MAX
-                if accepted or retries >= max_extra:
-                    if not accepted:
-                        pair_over = True
-                        print(
-                            f"# round {r}: accepting stolen run (retries "
-                            f"exhausted)",
-                            file=sys.stderr,
-                        )
+                if side_best is None or steal < side_best[0]:
+                    side_best = (steal, stats, rps)
+                if steal <= SCALING_STEAL_MAX:
+                    break
+                if retries >= max_extra:
+                    steal, stats, rps = side_best
+                    pair_over = steal > SCALING_STEAL_MAX
+                    print(
+                        f"# round {r}: retries exhausted, keeping best "
+                        f"attempt (steal {steal:.1%})",
+                        file=sys.stderr,
+                    )
                     break
                 retries += 1
                 print(f"# round {r}: steal too high, re-running", file=sys.stderr)
