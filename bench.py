@@ -47,6 +47,7 @@ HEADLINE = [
     "tile_assign_t6_counts",   # geodesic flagship on sf tables
     "tile_roundtrip_t6_counts",  # fwd -> Column inverse -> fwd closure
     "tile_counts_t6",          # arithmetic tiling + agg
+    "tile_rollup_counts",      # T1->T3->T6 multi-resolution rollup (r5)
     "tilename_format",
     "bbox_range_join",
     "knn_tiles",

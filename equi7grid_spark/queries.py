@@ -486,6 +486,94 @@ def q_tilename_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tile_rollup_counts",
+    f"""
+    WITH d AS ({_SQL_DERIVED_XY}),
+    t1 AS MATERIALIZED (
+      SELECT subgrid,
+             floor(x/100000)::BIGINT AS tx,
+             floor(y/100000)::BIGINT AS ty,
+             count(*)::BIGINT AS n
+      FROM d GROUP BY subgrid, floor(x/100000), floor(y/100000)
+    ),
+    lv AS (
+      SELECT 'T1' AS level, subgrid, tx, ty, n FROM t1
+      UNION ALL
+      SELECT 'T3' AS level, subgrid,
+             (floor(tx/3)*3)::BIGINT AS tx, (floor(ty/3)*3)::BIGINT AS ty,
+             sum(n)::BIGINT AS n
+      FROM t1 GROUP BY subgrid, floor(tx/3), floor(ty/3)
+      UNION ALL
+      SELECT 'T6' AS level, subgrid,
+             (floor(tx/6)*6)::BIGINT AS tx, (floor(ty/6)*6)::BIGINT AS ty,
+             sum(n)::BIGINT AS n
+      FROM t1 GROUP BY subgrid, floor(tx/6), floor(ty/6)
+    )
+    SELECT level,
+           subgrid || '_E' || lpad(tx::INT::VARCHAR, 3, '0') ||
+           (CASE WHEN ty < 0 THEN 'S' ELSE 'N' END) ||
+           lpad(abs(ty)::INT::VARCHAR, 3, '0') || level AS tilename,
+           n
+    FROM lv
+    """,
+)
+def q_tile_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile rollup (hypertable-rollup pattern): per-tile
+    counts at ALL THREE standard tilings (T1/T3/T6) from one input scan.
+
+    Scale shape (reference: Equi7Grid.py get_parent_from_name /
+    get_children_from_name define the T1<T3<T6 nesting): the full-data
+    aggregation happens ONCE at the finest grain (T1 integer cell keys,
+    map-side partial agg, one shuffle of ~10^4 distinct keys); the T3/T6
+    levels are derived by exploding each T1 AGGREGATE row into its three
+    ancestors and re-aggregating — the second shuffle moves 3x the T1
+    AGGREGATE (~10^4 rows), never 3x the input, which is what
+    F.rollup/GROUPING SETS (Expand on the raw scan) would do at 100 TB.
+    Tilenames are formatted post-agg on the tiny result, never per row.
+    Nested-floor identity floor(x/(k*u)) == floor(floor(x/u)/k) makes the
+    ancestor derivation exact on the integer cell keys."""
+    d = _derived_xy(spark, sf_dir)
+    t1 = d.groupBy(
+        "subgrid",
+        F.floor(F.col("x") / 100000).alias("tx"),
+        F.floor(F.col("y") / 100000).alias("ty"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    anc = F.explode(
+        F.array(
+            F.struct(
+                F.lit("T1").alias("level"),
+                F.col("tx").alias("atx"),
+                F.col("ty").alias("aty"),
+            ),
+            F.struct(
+                F.lit("T3").alias("level"),
+                (F.floor(F.col("tx") / 3) * 3).alias("atx"),
+                (F.floor(F.col("ty") / 3) * 3).alias("aty"),
+            ),
+            F.struct(
+                F.lit("T6").alias("level"),
+                (F.floor(F.col("tx") / 6) * 6).alias("atx"),
+                (F.floor(F.col("ty") / 6) * 6).alias("aty"),
+            ),
+        )
+    ).alias("g")
+    lv = (
+        t1.select("subgrid", "n", anc)
+        .groupBy("g.level", "subgrid", "g.atx", "g.aty")
+        .agg(F.sum("n").alias("n"))
+    )
+    name = F.concat(
+        F.col("subgrid"),
+        F.lit("_E"),
+        F.lpad(F.col("atx").cast("int").cast("string"), 3, "0"),
+        F.when(F.col("aty") < 0, F.lit("S")).otherwise(F.lit("N")),
+        F.lpad(F.abs(F.col("aty")).cast("int").cast("string"), 3, "0"),
+        F.col("level"),
+    )
+    return lv.select("level", name.alias("tilename"), F.col("n").cast("long").alias("n"))
+
+
 _KNN_TILES = [
     ("EU_E048N012T6", 5100000.0, 1500000.0),
     ("EU_E048N018T6", 5100000.0, 2100000.0),

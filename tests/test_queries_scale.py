@@ -115,6 +115,29 @@ def test_multimodal_near_dup_plan_shape(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_tile_rollup_aggregates_before_expanding(spark):
+    """Multi-resolution rollup: the 3-way level expansion (Generate)
+    must sit ABOVE the first aggregation's exchange — i.e. the explode
+    runs on the T1 AGGREGATE, never tripling the raw scan the way
+    F.rollup/GROUPING SETS (Expand below the agg) would at 100 TB."""
+    df = QUERIES["tile_rollup_counts"](spark, SF)
+    plan = _physical(df)
+    assert "Expand" not in plan  # no GROUPING-SETS-style input expansion
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    gen = plan.index("Generate")
+    first_exchange = plan.rindex("Exchange hashpartitioning")
+    assert gen < first_exchange, "explode must consume the aggregate"
+    # values: each level's total must equal the input row count
+    import pyspark.sql.functions as F
+
+    totals = {
+        r["level"]: r["t"]
+        for r in df.groupBy("level").agg(F.sum("n").alias("t")).collect()
+    }
+    n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert totals == {"T1": n, "T3": n, "T6": n}
+
+
 def test_bench_headline_queries_exist():
     """Every bench HEADLINE entry must be a registered query — guards
     renames from silently breaking the driver's per-round bench."""
