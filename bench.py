@@ -64,6 +64,7 @@ HEADLINE = [
     "image_phash_pipeline",    # decode -> DCT phash -> banded join
     "image_multimodal_near_dup",  # phash OR caption cross-signal dedup
     "image_multimodal_embed_near_dup",  # + embedding LSH signal (r5)
+    "image_phash_dup_clusters",  # iterative min-label closure (r5)
 ]
 
 

@@ -183,7 +183,18 @@ def duplicate_clusters(
 
     The canonical training-pipeline closer for dedup: LSH candidates →
     exact Jaccard verify (edges) → transitive clustering → keep one
-    representative per cluster (cluster_id IS the canonical doc).
+    representative per cluster (cluster_id IS the canonical doc)."""
+    pairs = ngram_jaccard_pairs(docs, threshold).select("a", "b")
+    return connected_components(pairs, max_iter).select(
+        F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list: the first two
+    columns of `pairs` are the endpoints (any orderable id type).
+    Returns (id, lab) with lab = min id reachable, one row per id that
+    appears in at least one edge.
 
     Scale shape: min-label propagation — label(v) ← min(label(v),
     min over neighbors) — one equi-join + partial-aggregated groupBy
@@ -194,10 +205,11 @@ def duplicate_clusters(
     iterative DataFrame jobs at scale. No driver-side graph state —
     the driver sees only the per-round changed-row count.
     """
-    pairs = ngram_jaccard_pairs(docs, threshold).select("a", "b")
+    a_col, b_col = pairs.columns[:2]
+    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     # symmetric edge list, cached: reused every round
-    edges = pairs.unionAll(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    edges = p.unionAll(
+        p.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -240,11 +252,11 @@ def duplicate_clusters(
         # silently-partial labels (and diverge from the oracle's exact
         # transitive closure) — fail loudly instead
         raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter for "
-            "long-chain duplicate components"
+            "long-chain components"
         )
-    return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
+    return labels
 
 
 _HEX = "0123456789abcdef"
@@ -460,6 +472,39 @@ def phash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
+    )
+
+
+def phash_dup_clusters(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    max_iter: int = 20,
+    chunk_size: int = 2048,
+) -> DataFrame:
+    """Transitive perceptual-hash image clustering: connected
+    components over the EXACT hamming<=max_hamming pair graph,
+    (image_id, cluster_id = min image_id in the component), one row per
+    image with at least one near-duplicate.
+
+    The image-side closer of the dedup pipeline (mirror of
+    duplicate_clusters for documents): near-dup pairs are not an
+    equivalence relation — a re-encode chain A~B~C can hold
+    hamming(A,C) > threshold — so canonical-image selection needs the
+    transitive closure, not the raw pair list. Pairs come from the
+    banded multi-index with hot-bucket chunking (phash_near_dup: exact
+    recall, no all-pairs); components are closed by min-label
+    propagation (connected_components: one join round per diameter
+    step, labels localCheckpointed between rounds). Scale: re-encode
+    clusters are star-shaped (variants of one source), so diameter and
+    round count stay small even when clusters are huge.
+    """
+    pairs = phash_near_dup(
+        imgs, id_col, phash_col, max_hamming, chunk_size=chunk_size
+    ).select("id_a", "id_b")
+    return connected_components(pairs, max_iter).select(
+        F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
     )
 
 

@@ -2262,11 +2262,15 @@ def q_images_in_roi_decided(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_image_phash_near_dup() -> str:
+def _sql_phash_variant_pairs() -> str:
+    """Shared CTE chain for the phash-dedup oracles: splitmix64 corpus
+    (base + planted hamming-1 `_v1` + hamming-4 `_v4` variants) ->
+    4x16-bit banded candidates -> exact hamming<=3 pairs (`ppairs`).
+    MATERIALIZED: the pair set is consumed downstream (directly or by a
+    recursive closure) and must not be re-planned per reference."""
     from equi7grid_spark.functions.images_sql import synthetic_lonlat_sql
 
-    return f"""
-    WITH {synthetic_lonlat_sql(_N_IMG_ORACLE)},
+    return f"""{synthetic_lonlat_sql(_N_IMG_ORACLE)},
     base AS (
       SELECT img_id, 'img' || lpad(img_id::VARCHAR, 12, '0') AS id, phash AS ph
       FROM img
@@ -2298,27 +2302,27 @@ def _oracle_image_phash_near_dup() -> str:
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.ph AS ph_a, b.ph AS ph_b
       FROM bands a JOIN bands b USING (band_idx, band_val)
       WHERE a.id < b.id
-    )
-    SELECT id_a, id_b, hamming FROM (
-      SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
-      FROM cand
-    ) WHERE hamming <= 3
+    ),
+    ppairs AS MATERIALIZED (
+      SELECT id_a, id_b, hamming FROM (
+        SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+        FROM cand
+      ) WHERE hamming <= 3
+    )"""
+
+
+def _oracle_image_phash_near_dup() -> str:
+    return f"""
+    WITH {_sql_phash_variant_pairs()}
+    SELECT id_a, id_b, hamming FROM ppairs
     """
 
 
-@register("image_phash_near_dup", _oracle_image_phash_near_dup)
-def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Web-scale image dedup by perceptual hash: EXACT hamming<=3 pairs
-    via the 4x16-bit banded multi-index (dedup.phash_near_dup — the
-    only shuffle is on 16-bit band values, never all-pairs). The
-    deterministic fixture plants a hamming-1 variant for every 10th
-    image and a hamming-4-vs-base distractor for every 40th; the
-    oracle mirrors the synthesis (splitmix64 SQL twin) AND the banded
-    join, so both engines must emit identical pair sets: the planted
-    hamming-1 pairs, plus v1/v4 cross pairs at hamming 3 where the
-    flipped bits coincide (random 63-bit phashes collide within
-    hamming<=3 with probability ~2e-13 per pair, so nothing else)."""
-    from equi7grid_spark.dedup import phash_near_dup
+def _phash_variant_corpus(spark: SparkSession) -> DataFrame:
+    """Spark twin of _sql_phash_variant_pairs's corpus CTEs: the
+    deterministic phash fixture (base + planted hamming-1 `_v1` for
+    every 10th image + hamming-4 `_v4` distractor for every 40th),
+    (image_id, phash)."""
     from equi7grid_spark.images import synthetic_images
 
     base = (
@@ -2357,12 +2361,107 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    allv = (
+    return (
         base.select(F.explode(variants).alias("s"))
         .filter(F.col("s").isNotNull())
         .select("s.image_id", "s.phash")
     )
-    return phash_near_dup(allv, max_hamming=3)
+
+
+@register("image_phash_near_dup", _oracle_image_phash_near_dup)
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scale image dedup by perceptual hash: EXACT hamming<=3 pairs
+    via the 4x16-bit banded multi-index (dedup.phash_near_dup — the
+    only shuffle is on 16-bit band values, never all-pairs). The
+    deterministic fixture plants a hamming-1 variant for every 10th
+    image and a hamming-4-vs-base distractor for every 40th; the
+    oracle mirrors the synthesis (splitmix64 SQL twin) AND the banded
+    join, so both engines must emit identical pair sets: the planted
+    hamming-1 pairs, plus v1/v4 cross pairs at hamming 3 where the
+    flipped bits coincide (random 63-bit phashes collide within
+    hamming<=3 with probability ~2e-13 per pair, so nothing else)."""
+    from equi7grid_spark.dedup import phash_near_dup
+
+    return phash_near_dup(_phash_variant_corpus(spark), max_hamming=3)
+
+
+def _oracle_image_phash_dup_clusters() -> str:
+    return f"""
+    WITH RECURSIVE {_sql_phash_variant_pairs()},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM ppairs
+      UNION ALL SELECT id_b AS a, id_a AS b FROM ppairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS lab FROM edges
+      UNION
+      SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    )
+    SELECT id AS image_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@register("image_phash_dup_clusters", _oracle_image_phash_dup_clusters)
+def q_image_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive phash image clustering — the image-side closer of the
+    dedup pipeline: exact banded hamming<=3 pairs -> min-label
+    connected components -> (image_id, cluster_id = canonical image).
+    Near-dup is not transitive (a re-encode chain A~B~C can hold
+    hamming(A,C) > 3), so canonical selection needs the closure, not
+    the pair list: in this fixture the v4 distractor joins its
+    component only through v1 (v4~base is hamming 4). Spark runs
+    min-label propagation (dedup.phash_dup_clusters, one join round per
+    component-diameter step); the DuckDB oracle closes the SAME pair
+    set with a recursive transitive-closure CTE — both converge to
+    cluster_id = min image_id reachable, so the comparison is exact
+    despite the different algorithms."""
+    from equi7grid_spark.dedup import phash_dup_clusters
+
+    return phash_dup_clusters(_phash_variant_corpus(spark), max_hamming=3)
+
+
+def _oracle_image_dedup_keep_canonical() -> str:
+    return f"""
+    WITH RECURSIVE {_sql_phash_variant_pairs()},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM ppairs
+      UNION ALL SELECT id_b AS a, id_a AS b FROM ppairs
+    ),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS lab FROM edges
+      UNION
+      SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    noncanon AS (
+      SELECT id FROM reach GROUP BY id HAVING min(lab) <> id
+    )
+    SELECT id AS image_id, ph AS phash FROM allv
+    WHERE id NOT IN (SELECT id FROM noncanon)
+    """
+
+
+@register("image_dedup_keep_canonical", _oracle_image_dedup_keep_canonical)
+def q_image_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-corpus curation pass (mirror of corpus_curation for
+    the image table): drop every image that is a non-canonical member
+    of a phash near-dup cluster, keeping each cluster's minimum-id
+    representative plus all singletons. The anti-join side is the
+    clustered duplicate set — at web scale a small fraction of the
+    corpus, keyed by image_id, so the plan is scan → one left-anti
+    join against the (much smaller) duplicate list; the clusters come
+    from the banded pair graph closed by min-label propagation
+    (dedup.phash_dup_clusters)."""
+    from equi7grid_spark.dedup import phash_dup_clusters
+
+    corpus = _phash_variant_corpus(spark)
+    noncanon = (
+        phash_dup_clusters(corpus, max_hamming=3)
+        .filter(F.col("cluster_id") != F.col("image_id"))
+        .select("image_id")
+    )
+    return corpus.join(noncanon, "image_id", "left_anti").select(
+        "image_id", "phash"
+    )
 
 
 _SQL_CAP_MASK8 = (

@@ -136,6 +136,19 @@ def spark_flows() -> None:
     occ = phash_band_occupancy(compute_phash(both)).first()
     assert occ.n_rows >= 1
 
+    # transitive clustering + canonical keep (round 5): the curation
+    # closer — near-dup pairs are not an equivalence relation, so
+    # canonical selection needs the connected-component closure
+    from equi7grid_spark.dedup import phash_dup_clusters
+
+    hashed = compute_phash(both)
+    clusters = phash_dup_clusters(hashed, max_hamming=3)
+    noncanon = clusters.filter(
+        F.col("cluster_id") != F.col("image_id")
+    ).select("image_id")
+    kept = hashed.join(noncanon, "image_id", "left_anti")
+    print(f"canonical images kept: {kept.count()} of {both.count()}")
+
     # -- inverse projection at table scale (round 4): xy -> lonlat as
     #    JVM Columns; the forward-inverse roundtrip closes
     from equi7grid_spark.functions.geodesy_cols import with_aeqd_inverse

@@ -319,3 +319,40 @@ def test_embedding_near_dup_pairs_identical_and_chunked(spark):
     assert len(got) == len(pairs) == 40 * 39 // 2
     assert all(c == 1.0 for _, _, c in got)
     assert all("x1" not in p and "x2" not in p for pair in pairs for p in pair)
+
+
+def test_phash_dup_clusters_transitive_chain(spark):
+    from equi7grid_spark.dedup import phash_dup_clusters
+
+    base = 0x1234_5678_9ABC_DEF0
+    rows = [
+        # chain a~b~c~d: consecutive hamming 2, but a^c and b^d are
+        # hamming 4 and a^d hamming 6 — the closure is what links them
+        ("a", base),
+        ("b", base ^ (1 << 1) ^ (1 << 2)),
+        ("c", base ^ (1 << 1) ^ (1 << 2) ^ (1 << 20) ^ (1 << 21)),
+        ("d", base ^ (1 << 1) ^ (1 << 2) ^ (1 << 20) ^ (1 << 21)
+              ^ (1 << 40) ^ (1 << 41)),
+        # separate pair cluster
+        ("x", 0x0F0F_0F0F_0F0F_0F0F),
+        ("y", 0x0F0F_0F0F_0F0F_0F0E),
+        # singleton: no near-dup -> absent from the output
+        ("z", 0x7A7A_0000_FFFF_1111),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        r.image_id: r.cluster_id
+        for r in phash_dup_clusters(df, max_hamming=3).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_phash_dup_clusters_nonconvergence_raises(spark):
+    from equi7grid_spark.dedup import phash_dup_clusters
+
+    # a 4-link chain cannot converge with max_iter=1 propagation round
+    base = 1 << 30
+    rows = [(chr(ord("a") + i), base ^ ((1 << i) - 1)) for i in range(5)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        phash_dup_clusters(df, max_hamming=3, max_iter=1)
