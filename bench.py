@@ -41,7 +41,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # scan ramp-up and final collect) to <15% of the 4N-side run.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "3"))
 IMAGES_N = int(os.environ.get("BENCH_IMAGES_N", "192000000"))
-IMAGES_PATH = f"/tmp/equi7_bench_images_{IMAGES_N}.parquet"
+# File count of the scaling fixture. Scan-partition SIZE is governed by
+# spark.sql.files.maxPartitionBytes (BENCH_MAX_PARTITION_BYTES), but a
+# scan partition never spans files — so the 10x-partition sf1-shape
+# scaling point needs BOTH fewer/larger files (BENCH_IMAGES_PARTS=32 →
+# ~290 MB files at 192M rows) and a 10x maxPartitionBytes (160 MB).
+IMAGES_PARTS = int(os.environ.get("BENCH_IMAGES_PARTS", str(4 * CPUS)))
+IMAGES_PATH = f"/tmp/equi7_bench_images_{IMAGES_N}_{IMAGES_PARTS}.parquet"
 
 HEADLINE = [
     "tile_assign_t6_counts",   # geodesic flagship on sf tables
@@ -91,7 +97,7 @@ def ensure_images() -> None:
     from equi7grid_spark.images import synthetic_images
 
     t0 = time.time()
-    df = synthetic_images(spark, IMAGES_N, with_bytes=False, partitions=4 * CPUS)
+    df = synthetic_images(spark, IMAGES_N, with_bytes=False, partitions=IMAGES_PARTS)
     df.write.mode("overwrite").parquet(IMAGES_PATH)
     print(f"# generated {IMAGES_N} images in {time.time()-t0:.1f}s", file=sys.stderr)
     spark.stop()
@@ -319,14 +325,15 @@ def main() -> None:
         return
 
     # --scaling-only: just the pinned scaling pairs, one JSON line —
-    # for extra scale points (e.g. the 10x-partition sf1-shape run,
-    # BENCH_IMAGES_N + BENCH_SCALING_ROUNDS env) where the headline is
-    # already measured elsewhere
+    # for extra scale points (e.g. the 10x-partition sf1-shape run:
+    # BENCH_IMAGES_PARTS=32 BENCH_MAX_PARTITION_BYTES=167772160) where
+    # the headline is already measured elsewhere
     if "--scaling-only" in sys.argv[1:]:
         scaling = measure_scaling()
         scaling.update({
             "metric": "scaling_only",
             "images_n": IMAGES_N,
+            "images_parts": IMAGES_PARTS,
             "max_partition_bytes": MAX_PARTITION_BYTES,
             "scaling_pair": [SCALE_N, 4 * SCALE_N],
         })

@@ -196,14 +196,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Returns (id, lab) with lab = min id reachable, one row per id that
     appears in at least one edge.
 
-    Scale shape: min-label propagation — label(v) ← min(label(v),
-    min over neighbors) — one equi-join + partial-aggregated groupBy
-    per round, converging in O(component diameter) rounds. Near-dup
-    components are shallow (duplicates of a common source), so this
-    terminates in a handful of rounds; each round localCheckpoints the
-    label frame, truncating the lineage/plan growth that kills
-    iterative DataFrame jobs at scale. No driver-side graph state —
-    the driver sees only the per-round changed-row count.
+    Scale shape: min-label propagation with pointer jumping — each
+    round hooks label(v) ← min(label(v), min over neighbors), then
+    compresses label(v) ← label(label(v)) with a self-join on the
+    label frame. Hooking alone needs O(component diameter) rounds; the
+    jump makes the hop distance to the component minimum roughly halve
+    per round, so long chains (re-encode sequences, quote chains)
+    converge in O(log diameter) rounds at the cost of one extra
+    label-sized join per round. Each round localCheckpoints the label
+    frame, truncating the lineage/plan growth that kills iterative
+    DataFrame jobs at scale. No driver-side graph state — the driver
+    sees only the per-round changed-row count. Labels start as own
+    ids and only ever decrease to ids inside the same component, so
+    changed == 0 is exactly the propagation fixed point (labels
+    constant along every edge ⇒ equal to the component minimum).
     """
     a_col, b_col = pairs.columns[:2]
     p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
@@ -229,12 +235,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("lab").alias("nlab"))
             .withColumnRenamed("a", "id")
         )
+        hooked = labels.join(nmin, "id", "left").select(
+            "id",
+            F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+        )
+        # pointer jump: lab(v) ← lab(lab(v)). lab(v) is always a node
+        # id present in the label frame (labels start as own ids and
+        # move only to other nodes' labels), so the left join hits for
+        # every row; labels never increase (lab(w) ≤ w), keeping both
+        # steps monotone — changed == 0 still certifies the fixed point
+        parents = hooked.select(
+            F.col("id").alias("p_id"), F.col("lab").alias("p_lab")
+        )
         new_labels = (
-            labels.join(nmin, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
-            )
+            hooked.join(parents, hooked.lab == parents.p_id, "left")
+            .select("id", F.coalesce("p_lab", "lab").alias("lab"))
             .localCheckpoint()
         )
         changed = (
@@ -495,10 +510,11 @@ def phash_dup_clusters(
     transitive closure, not the raw pair list. Pairs come from the
     banded multi-index with hot-bucket chunking (phash_near_dup: exact
     recall, no all-pairs); components are closed by min-label
-    propagation (connected_components: one join round per diameter
-    step, labels localCheckpointed between rounds). Scale: re-encode
-    clusters are star-shaped (variants of one source), so diameter and
-    round count stay small even when clusters are huge.
+    propagation with pointer jumping (connected_components: O(log
+    diameter) rounds, labels localCheckpointed between rounds). Scale:
+    re-encode clusters are star-shaped (variants of one source), so
+    round count stays small even when clusters are huge; long
+    re-encode CHAINS are what the pointer jump is for.
     """
     pairs = phash_near_dup(
         imgs, id_col, phash_col, max_hamming, chunk_size=chunk_size

@@ -1032,8 +1032,8 @@ _SQL_CLUSTER_CTES = f"""
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-duplicate clustering (the dedup pipeline closer:
     candidates → verify → connected components → canonical doc per
-    cluster). Spark runs min-label propagation, one join round per
-    component-diameter step (dedup.duplicate_clusters); the DuckDB
+    cluster). Spark runs min-label propagation with pointer jumping,
+    O(log diameter) rounds (dedup.duplicate_clusters); the DuckDB
     oracle computes the same fixpoint as a recursive transitive-closure
     CTE — both sides converge to cluster_id = min doc_id reachable, so
     the comparison is exact despite the different algorithms."""
@@ -2410,8 +2410,9 @@ def q_image_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming(A,C) > 3), so canonical selection needs the closure, not
     the pair list: in this fixture the v4 distractor joins its
     component only through v1 (v4~base is hamming 4). Spark runs
-    min-label propagation (dedup.phash_dup_clusters, one join round per
-    component-diameter step); the DuckDB oracle closes the SAME pair
+    min-label propagation with pointer jumping
+    (dedup.phash_dup_clusters, O(log diameter) rounds); the DuckDB
+    oracle closes the SAME pair
     set with a recursive transitive-closure CTE — both converge to
     cluster_id = min image_id reachable, so the comparison is exact
     despite the different algorithms."""

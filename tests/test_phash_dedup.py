@@ -347,12 +347,46 @@ def test_phash_dup_clusters_transitive_chain(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
 
 
+def _phash_path_graph(n: int) -> list[tuple[str, int]]:
+    """n-node PATH graph under hamming<=3: flip two fresh bits per
+    step, so consecutive nodes differ by 2 (edge) and any skip pair by
+    >=4 (no edge) — a genuine diameter-(n-1) chain, unlike small
+    cumulative-xor fixtures whose skip pairs stay within threshold."""
+    # flips use bits 0..61, base bit 62 keeps every value a valid
+    # signed int64 — 31 flip steps max, so n <= 32
+    assert n <= 32
+    base = 1 << 62
+    rows, h = [], base
+    for i in range(n):
+        rows.append((f"n{i:02d}", h))
+        h ^= (1 << (2 * i)) | (1 << (2 * i + 1))
+    return rows
+
+
 def test_phash_dup_clusters_nonconvergence_raises(spark):
     from equi7grid_spark.dedup import phash_dup_clusters
 
-    # a 4-link chain cannot converge with max_iter=1 propagation round
-    base = 1 << 30
-    rows = [(chr(ord("a") + i), base ^ ((1 << i) - 1)) for i in range(5)]
-    df = spark.createDataFrame(rows, "image_id string, phash long")
+    # an 8-link path cannot converge in max_iter=1 round even with the
+    # pointer jump (2 rounds incl. the confirming one cover ~5 hops)
+    df = spark.createDataFrame(
+        _phash_path_graph(9), "image_id string, phash long"
+    )
     with pytest.raises(RuntimeError, match="did not converge"):
         phash_dup_clusters(df, max_hamming=3, max_iter=1)
+
+
+def test_connected_components_pointer_jump_log_rounds(spark):
+    from equi7grid_spark.dedup import phash_dup_clusters
+
+    # 32-node path: diameter 31, so hook-only propagation would need 31
+    # rounds; hooking + pointer jumping closes it within 6 — this pins
+    # the O(log diameter) convergence that makes long re-encode chains
+    # tractable at scale
+    df = spark.createDataFrame(
+        _phash_path_graph(32), "image_id string, phash long"
+    )
+    got = {
+        r.image_id: r.cluster_id
+        for r in phash_dup_clusters(df, max_hamming=3, max_iter=6).collect()
+    }
+    assert got == {f"n{i:02d}": "n00" for i in range(32)}

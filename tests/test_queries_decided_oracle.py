@@ -119,12 +119,13 @@ def test_decided_subset_is_large(spark):
 
 
 def test_duplicate_clusters_max_iter_semantics(spark):
-    """max_iter buys max_iter full propagation rounds (plus the
-    confirming zero-change round): the two-hop chain converges at
-    max_iter=2 and raises at max_iter=1."""
+    """max_iter bounds hook+pointer-jump rounds (plus the confirming
+    zero-change round): the pointer jump closes the two-hop doc chain
+    in a single round, while an 8-node path (diameter 7) exceeds one
+    round's ~5-hop reach and raises at max_iter=1."""
     import pytest as _pytest
 
-    from equi7grid_spark.dedup import duplicate_clusters
+    from equi7grid_spark.dedup import connected_components, duplicate_clusters
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows = [
@@ -135,8 +136,14 @@ def test_duplicate_clusters_max_iter_semantics(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
         r["doc_id"]: r["cluster_id"]
-        for r in duplicate_clusters(docs, threshold=0.75, max_iter=2).collect()
+        for r in duplicate_clusters(docs, threshold=0.75, max_iter=1).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1}
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "a long, b long"
+    )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(docs, threshold=0.75, max_iter=1).collect()
+        connected_components(path, max_iter=1).collect()
+    labs = {r.id: r.lab for r in connected_components(path, max_iter=4).collect()}
+    assert labs == {i: 0 for i in range(8)}
