@@ -212,7 +212,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     constant along every edge ⇒ equal to the component minimum).
     """
     a_col, b_col = pairs.columns[:2]
-    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # EAGERLY materialize the DIRECTED pair list first: the symmetric
+    # union reads it twice (one per branch) within a single job, where
+    # a lazy .cache() races its own population — without this the
+    # upstream pair enumeration (e.g. the banded hamming join) runs
+    # twice just to build the edges. The pair list is true-pair-sized
+    # (tiny next to the corpus), so the checkpoint write is cheap.
+    p = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
     # symmetric edge list, cached: reused every round
     edges = p.unionAll(
         p.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -237,6 +245,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         hooked = labels.join(nmin, "id", "left").select(
             "id",
+            F.col("lab").alias("old_lab"),
             F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
         )
         # pointer jump: lab(v) ← lab(lab(v)). lab(v) is always a node
@@ -247,18 +256,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         parents = hooked.select(
             F.col("id").alias("p_id"), F.col("lab").alias("p_lab")
         )
-        new_labels = (
+        # old_lab rides along so the convergence check is a plain agg
+        # over this frame — no extra labels-vs-new_labels join job
+        stepped = (
             hooked.join(parents, hooked.lab == parents.p_id, "left")
-            .select("id", F.coalesce("p_lab", "lab").alias("lab"))
+            .select("id", "old_lab", F.coalesce("p_lab", "lab").alias("lab"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("lab", "new_lab")
-            .join(labels, "id")
-            .filter(F.col("new_lab") != F.col("lab"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("lab") != F.col("old_lab")).count()
+        labels = stepped.select("id", "lab")
         if changed == 0:
             break
     edges.unpersist()

@@ -10,11 +10,18 @@ already-committed partitions.
 Atomicity model (Iceberg's, in miniature): each write lands its data
 files in a NEW per-snapshot directory ``data/snap-<id>/``; the manifest
 records which snapshot directory owns each partition, and ``read()``
-unions ONLY directories referenced by the CURRENT manifest. The
-pointer flip (rename of CURRENT) is the commit — a crash between the
-data write and the flip leaves an orphan snapshot directory that is
-invisible to readers and is garbage-collected by the next resumed
-write. Swapping in real Iceberg later only replaces this module's IO.
+reads ONLY the (directory, partition) pairs the manifest references —
+so overwriting a partition (resume=False) hides its stale copy in the
+older directory without rewriting it. The pointer flip (rename of
+CURRENT) is the commit — a crash between the data write and the flip
+leaves an orphan snapshot directory that is invisible to readers and
+is garbage-collected by the next resumed write (a directory referenced
+by ANY manifest on disk is history, not an orphan). Manifests chain
+via parent_id: ``read(spark, snapshot_id=...)`` time-travels,
+``snapshots()`` lists the chain, ``expire_snapshots(keep_last=N)``
+bounds retention by deleting expired manifests plus directories only
+they referenced. Swapping in real Iceberg later only replaces this
+module's IO.
 
 Layout under <root>/:
   data/snap-<id>/subgrid=<CC>/...parquet   per-snapshot data files
@@ -61,11 +68,52 @@ class IcebergLiteTable:
         dirs = sorted({p["snap_dir"] for p in m["partitions"]})
         return [self.data_dir / d for d in dirs]
 
+    def _manifest_files(self) -> list[Path]:
+        if not self.manifest_dir.exists():
+            return []
+        return sorted(self.manifest_dir.glob("manifest-*.json"))
+
+    def manifest_by_id(self, snapshot_id: str) -> dict:
+        """Load a manifest by snapshot id (time travel); raises
+        FileNotFoundError for unknown/expired ids."""
+        f = self.manifest_dir / f"manifest-{snapshot_id}.json"
+        if not f.exists():
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id!r} not found under {self.manifest_dir} "
+                "(never committed, or expired by expire_snapshots)"
+            )
+        return json.loads(f.read_text())
+
+    def snapshots(self) -> list[dict]:
+        """The committed snapshot chain, newest first: walk parent_id
+        links from CURRENT over the manifests still on disk. Each entry:
+        snapshot_id, parent_id, committed_at_unix, total_rows, meta."""
+        chain, m = [], self.current_manifest()
+        while m is not None:
+            chain.append(
+                {
+                    "snapshot_id": m["snapshot_id"],
+                    "parent_id": m.get("parent_id"),
+                    "committed_at_unix": m.get("committed_at_unix"),
+                    "total_rows": m.get("total_rows"),
+                    "meta": m.get("meta", {}),
+                }
+            )
+            pid = m.get("parent_id")
+            f = self.manifest_dir / f"manifest-{pid}.json" if pid else None
+            m = json.loads(f.read_text()) if f and f.exists() else None
+        return chain
+
     def gc_uncommitted(self) -> list[str]:
         """Delete orphan snapshot directories (data written by a run
-        that crashed before its manifest flip). Safe because readers
-        only ever union committed directories."""
-        live = {p.name for p in self.committed_snapshot_dirs()}
+        that crashed before its manifest flip). A directory is live if
+        ANY manifest on disk references it — not just CURRENT — so
+        history needed for time-travel reads survives gc; bounded
+        retention is expire_snapshots' job, never gc's."""
+        live: set[str] = set()
+        for f in self._manifest_files():
+            m = json.loads(f.read_text())
+            live.update(p["snap_dir"] for p in m["partitions"])
         removed = []
         if self.data_dir.exists():
             for d in self.data_dir.iterdir():
@@ -74,7 +122,37 @@ class IcebergLiteTable:
                     removed.append(d.name)
         return removed
 
-    def _commit(self, partitions: list[dict], meta: dict, snapshot_id: str) -> dict:
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg-style retention: keep the newest `keep_last`
+        manifests of the CURRENT chain (plus any data directory the
+        kept manifests still reference), delete older manifest files
+        and any snapshot directory referenced only by expired
+        manifests. Time travel to an expired id then fails loudly;
+        CURRENT and its data are never touched."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        chain = self.snapshots()
+        keep_ids = {s["snapshot_id"] for s in chain[:keep_last]}
+        removed_manifests = []
+        for f in self._manifest_files():
+            m = json.loads(f.read_text())
+            if m["snapshot_id"] not in keep_ids:
+                f.unlink()
+                removed_manifests.append(m["snapshot_id"])
+        removed_dirs = self.gc_uncommitted()
+        return {
+            "removed_manifests": sorted(removed_manifests),
+            "removed_dirs": sorted(removed_dirs),
+            "kept": sorted(keep_ids),
+        }
+
+    def _commit(
+        self,
+        partitions: list[dict],
+        meta: dict,
+        snapshot_id: str,
+        partition_col: str | None = None,
+    ) -> dict:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         prev = self.current_manifest()
         merged: dict[str, dict] = {}
@@ -86,6 +164,8 @@ class IcebergLiteTable:
             "parent_id": prev["snapshot_id"] if prev else None,
             "committed_at_unix": time.time(),
             "meta": meta,
+            "partition_col": partition_col
+            or (prev.get("partition_col") if prev else None),
             "partitions": sorted(merged.values(), key=lambda p: p["partition"]),
             "total_rows": sum(p["rows"] for p in merged.values()),
         }
@@ -143,7 +223,7 @@ class IcebergLiteTable:
             }
             for k, v in sorted(counts.items())
         ]
-        manifest = self._commit(parts, meta or {}, snapshot_id)
+        manifest = self._commit(parts, meta or {}, snapshot_id, partition_col)
         manifest["newly_written"] = sorted(counts)
         manifest["skipped_resume"] = sorted(done)
         return manifest
@@ -209,11 +289,37 @@ class IcebergLiteTable:
         manifest["skipped_resume"] = skipped
         return manifest
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Union of the COMMITTED snapshot directories only — files from
-        an uncommitted (crashed) write are never visible."""
-        dirs = self.committed_snapshot_dirs()
-        if not dirs:
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        """Read the table as of a committed snapshot (CURRENT when
+        `snapshot_id` is None — time travel otherwise). Reads exactly
+        the (snap_dir, partition) pairs the manifest references, so a
+        partition overwritten by a later snapshot is read from the
+        directory that owned it THEN, and stale copies of a partition
+        left in an older directory after an overwrite are never
+        unioned in. Files from an uncommitted (crashed) write are
+        never visible. Partition values must not contain '/' or '='
+        (they become hive-style path segments)."""
+        m = (
+            self.manifest_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_manifest()
+        )
+        if not m or not m["partitions"]:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
-        frames = [spark.read.parquet(str(d)) for d in dirs]
+        col = m.get("partition_col")
+        by_dir: dict[str, list[str]] = {}
+        for p in m["partitions"]:
+            by_dir.setdefault(p["snap_dir"], []).append(p["partition"])
+        frames = []
+        for snap_dir, parts in sorted(by_dir.items()):
+            base = self.data_dir / snap_dir
+            if col is None:
+                # legacy manifests (no partition_col recorded): whole-dir
+                # union — correct for the append-only resume model
+                frames.append(spark.read.parquet(str(base)))
+            else:
+                paths = [str(base / f"{col}={v}") for v in sorted(parts)]
+                frames.append(
+                    spark.read.option("basePath", str(base)).parquet(*paths)
+                )
         return reduce(lambda a, b: a.unionByName(b), frames)

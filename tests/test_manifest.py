@@ -85,3 +85,69 @@ def test_incremental_commit_kill_resume_bench_shape(spark, tmp_path):
     got = sorted(map(tuple, t.read(spark).collect()))
     ref = sorted(map(tuple, t2.read(spark).collect()))
     assert got == ref
+
+
+def test_time_travel_overwrite_and_expire(spark, tmp_path):
+    """Snapshot semantics under partition OVERWRITE (resume=False):
+    the current read excludes the stale copy left in the older
+    directory, time travel reads the partition as of each snapshot,
+    gc preserves history dirs, and expire_snapshots bounds retention."""
+    t = IcebergLiteTable(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [("EU", 1), ("EU", 2), ("AS", 3)], "subgrid string, v int"
+    )
+    m1 = t.write_partitioned(df1, "subgrid", meta={"run": 1})
+
+    # overwrite ONLY partition EU with new values
+    df2 = spark.createDataFrame([("EU", 10)], "subgrid string, v int")
+    m2 = t.write_partitioned(df2, "subgrid", meta={"run": 2}, resume=False)
+
+    cur = sorted(map(tuple, t.read(spark).select("v", "subgrid").collect()))
+    assert cur == [(3, "AS"), (10, "EU")]  # stale EU rows 1,2 excluded
+    old = sorted(
+        map(
+            tuple,
+            t.read(spark, snapshot_id=m1["snapshot_id"])
+            .select("v", "subgrid")
+            .collect(),
+        )
+    )
+    assert old == [(1, "EU"), (2, "EU"), (3, "AS")]
+
+    # the chain lists both snapshots, newest first
+    chain = t.snapshots()
+    assert [s["snapshot_id"] for s in chain] == [
+        m2["snapshot_id"],
+        m1["snapshot_id"],
+    ]
+
+    # gc keeps the history dir (referenced by manifest-1 only)
+    assert t.gc_uncommitted() == []
+    assert t.read(spark, snapshot_id=m1["snapshot_id"]).count() == 3
+
+    # expire to the newest snapshot: manifest-1 gone, snap-1 dir KEPT
+    # (current still reads AS from it), time travel now fails loudly
+    res = t.expire_snapshots(keep_last=1)
+    assert res["removed_manifests"] == [m1["snapshot_id"]]
+    assert res["removed_dirs"] == []  # snap-1 still referenced by CURRENT
+    with pytest.raises(FileNotFoundError, match="expired"):
+        t.read(spark, snapshot_id=m1["snapshot_id"])
+    assert sorted(
+        map(tuple, t.read(spark).select("v", "subgrid").collect())
+    ) == [(3, "AS"), (10, "EU")]
+
+
+def test_expire_drops_fully_superseded_dirs(spark, tmp_path):
+    """A snapshot dir every partition of which was overwritten later is
+    deleted once the manifests referencing it expire."""
+    t = IcebergLiteTable(tmp_path / "tbl")
+    df1 = spark.createDataFrame([("EU", 1)], "subgrid string, v int")
+    m1 = t.write_partitioned(df1, "subgrid")
+    snap1 = {p["snap_dir"] for p in m1["partitions"]}.pop()
+    df2 = spark.createDataFrame([("EU", 2)], "subgrid string, v int")
+    t.write_partitioned(df2, "subgrid", resume=False)
+
+    assert (t.data_dir / snap1).exists()  # history kept while manifest-1 lives
+    res = t.expire_snapshots(keep_last=1)
+    assert res["removed_dirs"] == [snap1]
+    assert [r.v for r in t.read(spark).collect()] == [2]
