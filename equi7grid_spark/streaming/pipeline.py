@@ -280,6 +280,7 @@ def streaming_phash_near_dup(
     n_bands: int = 4,
     watermark: str = "1 hour",
     max_bucket_rows: int = 100_000,
+    reader_options: dict | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator #2: continuous near-duplicate
     image detection over a stream of perceptual hashes
@@ -306,7 +307,94 @@ def streaming_phash_near_dup(
         watermark=watermark,
         max_bucket_rows=max_bucket_rows,
         include_caption=False,
+        reader_options=reader_options,
     ).select("id_a", "id_b", "hamming")
+
+
+def streaming_phash_dup_clusters(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    schema: str = "image_id string, ts timestamp, phash long",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    watermark: str = "1 hour",
+    max_iter: int = 20,
+    n_label_parts: int = 16,
+    max_bucket_rows: int = 100_000,
+    reader_options: dict | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator #4 (round 5): continuously
+    maintained transitive phash clustering — the streaming twin of
+    dedup.phash_dup_clusters. The stateful bucket operator emits true
+    near-dup pairs as members arrive (streaming_phash_near_dup); a
+    foreachBatch sink folds each micro-batch of pairs into a
+    (image_id, cluster_id) label table committed as iceberg-lite
+    snapshots (table/manifest.py: atomic flip per batch, history
+    time-travelable per micro-batch, `expire_snapshots` bounds
+    retention). Returns the final labels as a batch DataFrame after an
+    availableNow drain.
+
+    Incremental closure WITHOUT replaying history: converged labels
+    form a STAR FOREST (every node points at its component minimum),
+    and connected components of (old edge set ∪ batch) equal the
+    components of (stars(old labels) ∪ batch) — so each batch closes
+    only label-sized star edges plus the batch's new pairs, never the
+    accumulated raw pair log. A batch whose pairs bridge two existing
+    clusters relabels BOTH to the joint minimum through the star
+    edges (covered by the merge test). Labels are hash-partitioned on
+    image_id (`n_label_parts`) so the per-batch overwrite commits in
+    parallel; a part that ever held a labeled node always holds one
+    later (the labeled-node set only grows), so iceberg-lite's
+    merge-on-commit never leaves a part pointing at stale labels.
+    Crash model: a replayed micro-batch re-closes the same edge set
+    into identical labels (idempotent snapshot), and a crash mid-write
+    leaves an orphan snapshot dir that is invisible and gc'd at the
+    next batch."""
+    from equi7grid_spark.dedup import connected_components
+    from equi7grid_spark.table.manifest import IcebergLiteTable
+
+    pairs = streaming_phash_near_dup(
+        spark, input_dir, schema, max_hamming, n_bands, watermark,
+        max_bucket_rows, reader_options=reader_options,
+    )
+    table = IcebergLiteTable(table_root)
+
+    def close_batch(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        sess = batch_df.sparkSession
+        edges = batch_df.select("id_a", "id_b")
+        table.gc_uncommitted()
+        try:
+            prev = table.read(sess)
+            stars = prev.select(
+                F.col("image_id").alias("id_a"),
+                F.col("cluster_id").alias("id_b"),
+            )
+            edges = edges.unionByName(stars)
+        except FileNotFoundError:
+            pass
+        labs = connected_components(edges, max_iter)
+        out = labs.select(
+            F.col("id").alias("image_id"),
+            F.col("lab").alias("cluster_id"),
+            F.pmod(F.xxhash64("id"), F.lit(n_label_parts))
+            .cast("int")
+            .alias("part"),
+        )
+        table.write_partitioned(
+            out, "part", meta={"batch_id": int(batch_id)}, resume=False
+        )
+
+    q = (
+        pairs.writeStream.foreachBatch(close_batch)
+        .option("checkpointLocation", f"{table_root}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read(spark).select("image_id", "cluster_id")
 
 
 def streaming_multimodal_pairs(
@@ -318,6 +406,7 @@ def streaming_multimodal_pairs(
     watermark: str = "1 hour",
     max_bucket_rows: int = 100_000,
     include_caption: bool = True,
+    reader_options: dict | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator #3 (round 5): continuous
     CROSS-SIGNAL near-duplicate detection — the streaming twin of
@@ -492,7 +581,10 @@ def streaming_multimodal_pairs(
             "hamming": pd.array(out_h, dtype="Int32"),
         })
 
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(input_dir)
     p = F.col("phash")
     bands = F.array(
         *[

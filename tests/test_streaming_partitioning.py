@@ -415,3 +415,103 @@ def test_streaming_multimodal_pairs_matches_batch(spark, tmp_path):
         for k, v in merged.items()
     }
     assert got == expected
+
+
+def test_streaming_phash_dup_clusters_matches_batch_with_merge(spark, tmp_path):
+    """Streaming twin of phash_dup_clusters: per-file micro-batches,
+    with the bridge row arriving in the SECOND batch so the foreachBatch
+    closure must MERGE two already-committed clusters through the star
+    edges (the incremental-closure case a single-batch run never hits);
+    final labels must equal the batch operator on the full corpus."""
+    from equi7grid_spark.dedup import phash_dup_clusters
+    from equi7grid_spark.streaming.pipeline import streaming_phash_dup_clusters
+
+    base_a = 0x1234_5678_9ABC_DEF0
+    base_b = 0x0F0F_0F0F_0F0F_0F0F
+    batch1 = [
+        # cluster A: a0~a1 (hamming 1)
+        ("a0", base_a),
+        ("a1", base_a ^ 1),
+        # cluster B: b0~b1 (hamming 2)
+        ("b0", base_b),
+        ("b1", base_b ^ (1 << 20) ^ (1 << 21)),
+        # singleton (never appears in output)
+        ("z0", 0x7A7A_0000_FFFF_1111),
+    ]
+    # bridge: within hamming 3 of BOTH a1-side and... impossible for
+    # distant bases — instead bridge WITHIN cluster-B-reach of a node
+    # near A: b2 links b1 (hamming 2) and a NEW a2 links a0 (hamming 2),
+    # plus bridge c0 linking a2 and b2 is infeasible across distant
+    # bases; so the merge case uses two sub-clusters of the SAME base:
+    # c0~c1 in batch 1 (two separate pairs far apart), bridged in
+    # batch 2 by c2 within hamming 3 of both.
+    base_c = 0x5555_AAAA_3333_CCCC
+    batch1 += [
+        ("c0", base_c),                                   # pairs with c2 later
+        ("c1", base_c ^ (1 << 5) ^ (1 << 6) ^ (1 << 40) ^ (1 << 41)),
+    ]
+    # c0 vs c1 is hamming 4: NOT a pair in batch 1 (two singletons-ish)
+    batch2 = [
+        # c2 is hamming 2 from c0 and hamming 2 from c1 -> merges them
+        ("c2", base_c ^ (1 << 5) ^ (1 << 40)),
+        # and a LATE member of cluster A (cross-batch pair via state)
+        ("a2", base_a ^ 2),
+    ]
+
+    src = tmp_path / "clusters_stream"
+    src.mkdir()
+
+    def write_file(rows, name, t0):
+        import shutil
+
+        ts_rows = [
+            (iid, f"2026-01-01 10:00:{t0 + i:02d}", ph)
+            for i, (iid, ph) in enumerate(rows)
+        ]
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            ts_rows, "image_id string, ts_s string, phash long"
+        ).selectExpr(
+            "image_id", "CAST(ts_s AS TIMESTAMP) AS ts", "phash"
+        ).coalesce(1).write.parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"{name}.parquet"))
+
+    write_file(batch1, "f1", 0)
+    write_file(batch2, "f2", 30)
+
+    got_df = streaming_phash_dup_clusters(
+        spark,
+        str(src),
+        str(tmp_path / "labels_tbl"),
+        watermark="1 hour",
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    got = {r.image_id: r.cluster_id for r in got_df.collect()}
+
+    full = spark.createDataFrame(
+        batch1 + batch2, "image_id string, phash long"
+    )
+    expected = {
+        r.image_id: r.cluster_id
+        for r in phash_dup_clusters(full, max_hamming=3).collect()
+    }
+    assert got == expected
+    # the interesting assertions, explicit: the bridge merged c0/c1/c2,
+    # the late a2 joined cluster A through cross-batch bucket state
+    assert got["c0"] == got["c1"] == got["c2"] == "c0"
+    assert got["a2"] == "a0"
+    assert "z0" not in got
+
+    # per-micro-batch history is time-travelable: the table holds one
+    # snapshot per non-empty batch and the first one lacks the merge
+    from equi7grid_spark.table.manifest import IcebergLiteTable
+
+    t = IcebergLiteTable(tmp_path / "labels_tbl")
+    chain = t.snapshots()
+    assert len(chain) == 2
+    first = {
+        r.image_id: r.cluster_id
+        for r in t.read(spark, snapshot_id=chain[-1]["snapshot_id"]).collect()
+    }
+    assert "c2" not in first and first["a0"] == "a0" and first["b1"] == "b0"
