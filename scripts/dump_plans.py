@@ -185,6 +185,32 @@ def main() -> None:
         plan_of(ivf),
     ))
 
+    ru = queries()["tile_rollup_counts"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Multi-resolution tile rollup T1 -> T3 -> T6 (r5)",
+        "One scan, one fine-grained T1 aggregation shuffle; the T3 and "
+        "T6 levels re-aggregate the ~10^4-row T1 result by integer "
+        "division of the packed keys (tile algebra, zero re-scan), "
+        "then a union of the three catalog-sized levels.",
+        plan_of(ru),
+    ))
+
+    cc = queries()["image_phash_dup_clusters"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Transitive phash clustering (pointer-jumping CC, r5)",
+        "The pair graph comes from the banded multi-index above, "
+        "eagerly localCheckpointed ONCE (the symmetric-edge union would "
+        "otherwise re-run the enumeration per branch). Each round is "
+        "one edge-label equi-join with a map-side-partial min groupBy "
+        "(hook), one label-frame self-join (pointer jump — O(log "
+        "diameter) rounds instead of O(diameter)), and a filter-count "
+        "convergence check on the round's checkpointed frame; the plan "
+        "below is the final labels projection over the last checkpoint "
+        "— lineage is truncated every round, which is what keeps "
+        "iterative DataFrame jobs plannable at scale.",
+        plan_of(cc),
+    ))
+
     # partition pruning on the iceberg-lite sink layout
     from equi7grid_spark.table.manifest import IcebergLiteTable
 
