@@ -174,6 +174,32 @@ def spark_flows() -> None:
     assert row.dlon < 1e-6 and row.dlat < 1e-6
     print(f"roundtrip closure: dlon={row.dlon:.2e} dlat={row.dlat:.2e}")
 
+    # -- iceberg-lite snapshot time travel (round 5): overwrite one
+    #    continent, read both table versions, expire history
+    from equi7grid_spark.table.manifest import IcebergLiteTable
+
+    with tempfile.TemporaryDirectory() as d:
+        t = IcebergLiteTable(f"{d}/tiles")
+        counts = assigned.groupBy("subgrid").count()
+        m1 = t.write_partitioned(counts, "subgrid")
+        t.write_partitioned(
+            counts.filter(F.col("subgrid") == "EU").withColumn(
+                "count", F.col("count") * 0
+            ),
+            "subgrid",
+            resume=False,
+        )
+        eu_now = t.read(spark).filter(F.col("subgrid") == "EU").first()
+        eu_then = (
+            t.read(spark, snapshot_id=m1["snapshot_id"])
+            .filter(F.col("subgrid") == "EU")
+            .first()
+        )
+        assert eu_now["count"] == 0 and eu_then["count"] > 0
+        assert len(t.snapshots()) == 2
+        t.expire_snapshots(keep_last=1)
+        print(f"time travel: EU {eu_then['count']} -> {eu_now['count']}")
+
     spark.stop()
     print("spark flows: OK")
 
