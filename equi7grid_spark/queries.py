@@ -165,38 +165,6 @@ def q_tilename_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tilename_format_t2",
-    f"""
-    WITH d AS ({_SQL_DERIVED_XY})
-    SELECT key,
-           subgrid || '_E' ||
-           lpad(((floor(x/200000)*200000)/100000)::INT::VARCHAR, 3, '0') ||
-           (CASE WHEN floor(y/200000)*200000 < 0 THEN 'S' ELSE 'N' END) ||
-           lpad(abs((floor(y/200000)*200000)/100000)::INT::VARCHAR, 3, '0') ||
-           'T2' AS tilename_t2
-    FROM d
-    """,
-)
-def q_tilename_format_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-defined tiling level (reference get_user_equi7grid,
-    core.py:538-569): a T2 = 200 km grid registered via
-    make_user_grid_config, then the same JVM-side tilename algebra."""
-    from equi7grid_spark.constants import (
-        RegularTilingDefinition,
-        make_user_grid_config,
-    )
-
-    make_user_grid_config(
-        500, {1: RegularTilingDefinition(name="T2", tile_shape=200_000)}
-    )
-    d = _derived_xy(spark, sf_dir)
-    return d.select(
-        "key",
-        TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T2").alias("tilename_t2"),
-    )
-
-
-@register(
     "tilename_parse",
     f"""
     WITH d AS ({_SQL_DERIVED_XY}),
@@ -470,19 +438,34 @@ def _sql_name_at(ts: int, tid: str) -> str:
     SELECT key,
            {_sql_name_at(600000, 'T6')} AS t6,
            {_sql_name_at(300000, 'T3')} AS t3,
-           {_sql_name_at(100000, 'T1')} AS t1
+           {_sql_name_at(100000, 'T1')} AS t1,
+           {_sql_name_at(200000, 'T2')} AS t2
     FROM d
     """,
 )
 def q_tilename_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One pass, all three standard levels — the hierarchy assignment a
-    training pipeline materializes at write time for partition pruning."""
+    """One pass, all three standard levels PLUS a user-defined T2 =
+    200 km level (reference get_user_equi7grid, core.py:538-569,
+    registered via make_user_grid_config) — the hierarchy assignment a
+    training pipeline materializes at write time for partition pruning.
+    (Absorbed the former tilename_format_t2 entry: the driver harness
+    runs only the first 50 queries() entries, so the registry stays
+    <= 50 — see the round-6 builder notes.)"""
+    from equi7grid_spark.constants import (
+        RegularTilingDefinition,
+        make_user_grid_config,
+    )
+
+    make_user_grid_config(
+        500, {1: RegularTilingDefinition(name="T2", tile_shape=200_000)}
+    )
     d = _derived_xy(spark, sf_dir)
     return d.select(
         "key",
         TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T6").alias("t6"),
         TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T3").alias("t3"),
         TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T1").alias("t1"),
+        TL.tilename_at(F.col("subgrid"), F.col("x"), F.col("y"), "T2").alias("t2"),
     )
 
 
@@ -1466,8 +1449,34 @@ def _oracle_zone_assign_full() -> str:
     """
 
 
-@register("zone_assign_counts", _oracle_zone_assign_full)
+def _oracle_zone_assign_merged() -> str:
+    """Both domains in one entry (the driver harness runs only the
+    first 50 queries() entries — r5 dropped entry #51 — so the decided
+    twin rides its full-domain parent under a `domain` tag)."""
+    return f"""
+    SELECT 'full' AS domain, subgrid, n
+    FROM ({_oracle_zone_assign_full()})
+    UNION ALL
+    SELECT 'decided' AS domain, subgrid, n
+    FROM ({_oracle_zone_assign_decided()})
+    """
+
+
+@register("zone_assign_counts", _oracle_zone_assign_merged)
 def q_zone_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone assignment counts, value-exact over BOTH domains: 'full'
+    (every row, boundary cells resolved by the exact parity PIP —
+    oracle mirrors it via the inline edge tables, functions/zones_sql)
+    and 'decided' (the 95.8% prefilter-decided subset via the
+    64,800-digit cell map, exercising the broadcast-join-only plan)."""
+    full = q_zone_assign_full_counts(spark, sf_dir)
+    dec = q_zone_assign_decided_counts(spark, sf_dir)
+    return full.withColumn("domain", F.lit("full")).unionByName(
+        dec.withColumn("domain", F.lit("decided"))
+    ).select("domain", "subgrid", "n")
+
+
+def q_zone_assign_full_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
 
     pts = _derived_lonlat(spark, sf_dir, spread=False)
@@ -1546,7 +1555,6 @@ def _spark_decided_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("zone_assign_decided_counts", _oracle_zone_assign_decided)
 def q_zone_assign_decided_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone assignment, value-exact DuckDB oracle on the decided-cell
     subset (95.8% of cells; the boundary-cell PIP remainder is covered
@@ -2042,12 +2050,34 @@ def _oracle_images_in_roi_full() -> str:
     """
 
 
-@register("images_in_roi", _oracle_images_in_roi_full)
+def _oracle_images_in_roi_merged() -> str:
+    """Full + decided domains in one entry (50-entry driver window —
+    see _oracle_zone_assign_merged)."""
+    return f"""
+    SELECT 'full' AS domain, subgrid, tilename, n_images
+    FROM ({_oracle_images_in_roi_full()})
+    UNION ALL
+    SELECT 'decided' AS domain, subgrid, tilename, n_images
+    FROM ({_oracle_images_in_roi_decided()})
+    """
+
+
+@register("images_in_roi", _oracle_images_in_roi_merged)
 def q_images_in_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROI-filtered image selection: tile-assign synthetic images, then
     semi-join against the broadcast ROI tile list (the engine's
-    point-in-ROI query at table scale). Round 4: value-oracled over the
-    FULL domain (boundary-cell PIP included) via functions/zones_sql."""
+    point-in-ROI query at table scale), value-oracled over BOTH
+    domains: 'full' (boundary-cell PIP included via functions/
+    zones_sql, round 4) and 'decided' (round 3's images_in_roi_decided
+    — absorbed here for the 50-entry driver window)."""
+    full = q_images_in_roi_full(spark, sf_dir)
+    dec = q_images_in_roi_decided(spark, sf_dir)
+    return full.withColumn("domain", F.lit("full")).unionByName(
+        dec.withColumn("domain", F.lit("decided"))
+    ).select("domain", "subgrid", "tilename", "n_images")
+
+
+def q_images_in_roi_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.images import synthetic_images
     from equi7grid_spark.roi import get_tiles_in_geog_bbox
 
@@ -2085,22 +2115,62 @@ def _oracle_images_tile_assign_full() -> str:
     """
 
 
-@register("images_tile_assign", _oracle_images_tile_assign_full)
+def _oracle_images_tile_assign_merged() -> str:
+    """Full + decided domains in one entry (50-entry driver window —
+    see _oracle_zone_assign_merged). The decided branch rolls the
+    per-tile keyed aggregate up to subgrid grain, so both domains share
+    the (domain, subgrid, n_images, n_tiles) schema."""
+    from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
+
+    decided = f"""
+    WITH {_sql_decided_images()},
+    proj AS ({aeqd_forward_sql("dec")}),
+    {_SQL_T6_KEYED_AGG}
+    SELECT {_SQL_SUBGRID} AS subgrid,
+           sum(n)::BIGINT AS n_images,
+           count(*)::BIGINT AS n_tiles
+    FROM agg GROUP BY subgrid
+    """
+    return f"""
+    SELECT 'full' AS domain, subgrid, n_images, n_tiles
+    FROM ({_oracle_images_tile_assign_full()})
+    UNION ALL
+    SELECT 'decided' AS domain, subgrid, n_images, n_tiles
+    FROM ({decided})
+    """
+
+
+@register("images_tile_assign", _oracle_images_tile_assign_merged)
 def q_images_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-subgrid image geotagging rollup, value-oracled over the FULL
-    domain (round 4). n_tiles is an exact distinct count so DuckDB can
-    reproduce it bit-for-bit (at 100 TB approx_count_distinct is the
-    drop-in swap; the decided twin keeps exercising the same plan)."""
+    """Per-subgrid image geotagging rollup, value-oracled over BOTH
+    domains: 'full' (every row, parity-PIP boundary resolve in the
+    oracle, round 4) and 'decided' (the splitmix64-synthesized
+    decided-cell subset through the compiled-kernel AEQD, round 3's
+    images_tile_assign_decided — absorbed here for the 50-entry driver
+    window). n_tiles is an exact distinct count so DuckDB can reproduce
+    it bit-for-bit (at 100 TB approx_count_distinct is the drop-in
+    swap)."""
     from equi7grid_spark.images import synthetic_images
 
     from equi7grid_spark.operators.assign_jvm import assign_tiles_jvm
 
     imgs = synthetic_images(spark, 20000, with_bytes=False)
     out = assign_tiles_jvm(imgs, tiling_id="T6")
-    return out.groupBy("subgrid").agg(
+    full = out.groupBy("subgrid").agg(
         F.count(F.lit(1)).alias("n_images"),
         F.countDistinct("tilename").alias("n_tiles"),
-    ).orderBy("subgrid")
+    )
+    dec = (
+        _t6_counts_from_proj(_aeqd_proj(_spark_decided_images(spark)))
+        .groupBy("subgrid")
+        .agg(
+            F.sum("n").alias("n_images"),
+            F.count(F.lit(1)).alias("n_tiles"),
+        )
+    )
+    return full.withColumn("domain", F.lit("full")).unionByName(
+        dec.withColumn("domain", F.lit("decided"))
+    ).select("domain", "subgrid", "n_images", "n_tiles")
 
 
 # ---------------------------------------------------------------------------
@@ -2186,24 +2256,6 @@ def _sql_decided_images() -> str:
     """
 
 
-def _oracle_images_tile_assign_decided() -> str:
-    from equi7grid_spark.functions.geodesy_sql import aeqd_forward_sql
-
-    return f"""
-    WITH {_sql_decided_images()},
-    proj AS ({aeqd_forward_sql("dec")}),
-    {_SQL_T6_COUNTS_FROM_PROJ}
-    """
-
-
-@register("images_tile_assign_decided", _oracle_images_tile_assign_decided)
-def q_images_tile_assign_decided(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image geotagging under a value-exact oracle: splitmix64 location
-    synthesis (SQL mirror in functions/images_sql) -> decided-cell zone
-    resolve -> AEQD forward -> per-T6-tile counts."""
-    return _t6_counts_from_proj(_aeqd_proj(_spark_decided_images(spark)))
-
-
 _IMG_ROI_BBOX = (0.0, 40.0, 30.0, 55.0)
 
 
@@ -2229,12 +2281,9 @@ def _oracle_images_in_roi_decided() -> str:
     """
 
 
-@register("images_in_roi_decided", _oracle_images_in_roi_decided)
 def q_images_in_roi_decided(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROI-filtered image selection under a value-exact oracle: the
-    broadcast semi-join against the ROI tile list, on the decided-cell
-    subset so DuckDB reproduces every count (the full-PIP variant
-    images_in_roi stays rows-only)."""
+    """Decided-domain branch of q_images_in_roi: the broadcast
+    semi-join against the ROI tile list on the decided-cell subset."""
     from equi7grid_spark.functions.tiling import tilename
     from equi7grid_spark.operators.assign import subgrid_from_code
     from equi7grid_spark.roi import get_tiles_in_geog_bbox

@@ -150,7 +150,9 @@ def main() -> None:
         plan_of(rt),
     ))
 
-    roi_dec = queries()["images_in_roi_decided"](spark, "/root/testdata/sf0.001")
+    from equi7grid_spark.queries import q_images_in_roi_decided
+
+    roi_dec = q_images_in_roi_decided(spark, "/root/testdata/sf0.001")
     sections.append((
         "Image ROI selection, decided subset (round-3 oracled pipeline)",
         "Synthesis (mapInPandas) → broadcast cell-map zone resolve → "

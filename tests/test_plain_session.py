@@ -24,7 +24,7 @@ REPO = Path(__file__).resolve().parents[1]
 # pandas-UDF warp without Arrow configs, PIP boundary resolve).
 CRITICAL = (
     "tile_assign_t6_counts,tile_assign_decided_t6_counts,"
-    "images_in_roi,images_tile_assign,zone_assign_decided_counts,"
+    "images_in_roi,images_tile_assign,zone_assign_counts,"
     "warp_raster_to_tiles,embedding_near_dup,"
     # round 4: the compiled-inverse path (equi7_lonlat registration +
     # Column fallback) is exactly the kernel-boundary surface the

@@ -33,14 +33,9 @@ def duck():
 def test_decided_plus_boundary_partitions_full_zone_counts(spark):
     """decided-subset counts + boundary-cell resolved counts must equal
     the full zone_assign_counts (same points, same zone semantics)."""
-    full = {
-        r["subgrid"]: r["n"]
-        for r in QUERIES["zone_assign_counts"](spark, SF).collect()
-    }
-    decided = {
-        r["subgrid"]: r["n"]
-        for r in QUERIES["zone_assign_decided_counts"](spark, SF).collect()
-    }
+    both = QUERIES["zone_assign_counts"](spark, SF).collect()
+    full = {r["subgrid"]: r["n"] for r in both if r["domain"] == "full"}
+    decided = {r["subgrid"]: r["n"] for r in both if r["domain"] == "decided"}
     # remainder = full engine assignment restricted to non-decided cells
     from equi7grid_spark.operators.assign_jvm import (
         assign_tiles_jvm,
@@ -109,12 +104,9 @@ def test_duplicate_clusters_transitive_chain(spark):
 def test_decided_subset_is_large(spark):
     """The decided fast path must cover the vast majority of points —
     if this drops, the flagship's zero-Python fraction regressed."""
-    full = sum(
-        r["n"] for r in QUERIES["zone_assign_counts"](spark, SF).collect()
-    )
-    decided = sum(
-        r["n"] for r in QUERIES["zone_assign_decided_counts"](spark, SF).collect()
-    )
+    both = QUERIES["zone_assign_counts"](spark, SF).collect()
+    full = sum(r["n"] for r in both if r["domain"] == "full")
+    decided = sum(r["n"] for r in both if r["domain"] == "decided")
     assert decided / full > 0.90
 
 
