@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from equi7grid_spark.constants import DEFAULT_SYSTEM_ORDER, SYSTEMS, WGS84_A
 from equi7grid_spark.functions import tiling as TL
-from equi7grid_spark.operators.assign import assign_tiles
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1742,22 +1741,106 @@ def q_tile_roundtrip_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t6_counts_from_proj(_aeqd_proj(_aeqd_inv(_aeqd_proj(zoned))))
 
 
-@register("lonlat_roundtrip_maxerr", None)
-def q_lonlat_roundtrip_maxerr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from equi7grid_spark.operators.assign import inverse_lonlat_udf
-
-    pts = _derived_lonlat(spark, sf_dir)
-    df = assign_tiles(pts, tiling_id="T6")
-    inv = df.withColumn("ll", inverse_lonlat_udf(F.col("subgrid"), F.col("x"), F.col("y")))
-    err = F.greatest(
-        F.abs(F.col("ll.lat") - F.col("lat")),
-        F.abs(
-            (F.col("ll.lon") - F.col("lon") + 540.0) % 360.0 - 180.0
-        ) * F.cos(F.radians(F.col("lat"))),
+def _oracle_lonlat_roundtrip_buckets() -> str:
+    """Bucketed roundtrip-closure oracle (round 6, replacing the
+    rows-only maxerr scalar whose ~1e-12-deg value sits below the
+    9-decimal cross-engine rounding floor): per-zone counts of points
+    whose forward->inverse closure error falls under 1e-9 deg / under
+    1e-7 / at-or-above 1e-7. Integer-valued, hence hashable. Boundary
+    robustness: BOTH engines' chains close to < 1e-11 deg (measured
+    decade histogram: worst decade -12 on the kernel path; the SQL
+    mirror shares the Column chain's arithmetic to ~1 ulp), so every
+    point sits >= 2 decades from the 1e-9 edge — the buckets are a
+    regression tripwire, not a knife-edge comparison."""
+    from equi7grid_spark.functions.geodesy_sql import (
+        aeqd_forward_sql,
+        aeqd_inverse_sql,
     )
-    return inv.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.max(err) < 1e-6).alias("roundtrip_under_1e6_deg"),
+    from equi7grid_spark.functions.zones_sql import resolve_zone_sql
+
+    err = (
+        "greatest(abs(lat - olat),"
+        " abs(fmod(fmod(lon - olon + 540.0, 360.0) + 360.0, 360.0) - 180.0)"
+        " * cos(radians(olat)))"
+    )
+    return f"""
+    WITH pts AS ({_SQL_DERIVED_LONLAT}),
+    {resolve_zone_sql("pts", "pt_id")},
+    src AS (SELECT zc, lon AS olon, lat AS olat, lon, lat FROM zoned),
+    p1 AS MATERIALIZED ({aeqd_forward_sql("src", carry=("zc", "olon", "olat"))}),
+    inv AS MATERIALIZED ({aeqd_inverse_sql("p1", carry=("zc", "olon", "olat"))}),
+    e AS (SELECT zc, {err} AS err FROM inv)
+    SELECT {_SQL_SUBGRID} AS subgrid,
+           CASE WHEN err < 1e-9 THEN 'lt_1e9'
+                WHEN err < 1e-7 THEN 'lt_1e7'
+                ELSE 'ge_1e7' END AS err_bucket,
+           count(*)::BIGINT AS n
+    FROM e GROUP BY subgrid, err_bucket
+    """
+
+
+@register("lonlat_roundtrip_err_buckets", _oracle_lonlat_roundtrip_buckets)
+def q_lonlat_roundtrip_err_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone closure-error buckets of the lonlat -> xy -> lonlat
+    roundtrip (reference xy_to_lonlat roundtrip semantics,
+    tests/test_equi7grid.py:50-99), VALUE-ORACLED (round 6): the former
+    lonlat_roundtrip_maxerr scalar was rows-only because the max error
+    (~1e-12 deg) vanishes under the 9-decimal rounding floor; integer
+    bucket counts at 1e-9 / 1e-7 survive hashing and still trip on any
+    closure regression. Uses the compiled kernel both ways when
+    available (closure < 1e-11 deg vs the Column chain — 2+ decades
+    inside the first bucket edge), else the unrolled Column chain the
+    SQL mirrors term for term."""
+    from equi7grid_spark.functions.geodesy_cols import (
+        with_aeqd_forward,
+        with_aeqd_inverse,
+    )
+    from equi7grid_spark.operators import kernel
+    from equi7grid_spark.operators.assign import subgrid_from_code
+    from equi7grid_spark.operators.assign_jvm import with_zone_code_jvm
+
+    pts = _derived_lonlat(spark, sf_dir, spread=_spread_unless_kernel(spark))
+    zoned = (
+        with_zone_code_jvm(pts)
+        .filter(F.col("zc").isNotNull())
+        .select("zc", F.col("lon").alias("olon"), F.col("lat").alias("olat"),
+                "lon", "lat")
+    )
+    if kernel.kernel_available(spark):
+        fwd = zoned.withColumn(
+            "_xy", kernel.xy_col(F.col("zc"), F.col("lon"), F.col("lat"))
+        ).select(
+            "zc", "olon", "olat",
+            F.element_at("_xy", 1).alias("x"),
+            F.element_at("_xy", 2).alias("y"),
+        )
+        inv = fwd.withColumn(
+            "_ll", kernel.lonlat_col(F.col("zc"), F.col("x"), F.col("y"))
+        ).select(
+            "zc", "olon", "olat",
+            F.element_at("_ll", 1).alias("lon"),
+            F.element_at("_ll", 2).alias("lat"),
+        )
+    else:
+        fwd = with_aeqd_forward(
+            zoned, "zc", "lon", "lat", "x", "y", carry=["zc", "olon", "olat"]
+        )
+        inv = with_aeqd_inverse(fwd, carry=["zc", "olon", "olat"])
+    err = F.greatest(
+        F.abs(F.col("lat") - F.col("olat")),
+        F.abs((F.col("lon") - F.col("olon") + 540.0) % 360.0 - 180.0)
+        * F.cos(F.radians(F.col("olat"))),
+    )
+    bucket = (
+        F.when(err < 1e-9, "lt_1e9").when(err < 1e-7, "lt_1e7").otherwise("ge_1e7")
+    )
+    return (
+        inv.select("zc", bucket.alias("err_bucket"))
+        .groupBy("zc", "err_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            subgrid_from_code(F.col("zc")).alias("subgrid"), "err_bucket", "n"
+        )
     )
 
 
