@@ -210,6 +210,25 @@ def sample_video_frames(video: DataFrame, every_n: int = 2) -> DataFrame:
     return video.select("video_id", "bytes", "fmt", "w", "h").mapInPandas(go, schema=schema)
 
 
+def binary_u8_sum(col):
+    """long Column: sum of a binary column's bytes as uint8 — the
+    vectorized reduce over raw frame payloads (one Arrow batch pass,
+    np.frombuffer + sum per row; no per-byte Python)."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _sum(b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                int(np.frombuffer(v, dtype=np.uint8).sum()) if v is not None else None
+                for v in b.to_numpy(object)
+            ],
+            dtype="Int64",
+        )
+
+    return _sum(col)
+
+
 _DCT32 = None
 
 

@@ -3009,6 +3009,105 @@ def q_image_phash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# audio/video modality under value oracles (round 6): the synthetic
+# payloads are pure small-integer byte arithmetic (media.py), so DuckDB
+# recomputes the decoded stats from the FORMULA while Spark runs the
+# real bytes -> decode -> aggregate path — certifying the fake-pcm /
+# fake-frames encode/decode roundtrip and the stats arithmetic at once.
+# ---------------------------------------------------------------------------
+
+_N_AUDIO = 2000
+_N_VIDEO = 300
+
+
+_ORACLE_AUDIO_STATS = f"""
+    WITH clips AS (SELECT k FROM generate_series(0, {_N_AUDIO - 1}) t(k)),
+    -- DuckDB 1.0 generate_series cannot take column bounds: fixed
+    -- 0..1999 + filter (n_samples < 2000 by construction)
+    samples AS (
+      SELECT k, ((k*131 + j*31) % 4001) - 2000 AS s
+      FROM clips, generate_series(0, 1999) t2(j)
+      WHERE j < 500 + (k*7919) % 1500
+    ),
+    agg AS (
+      SELECT k, count(*)::BIGINT AS n_samples,
+             sum(s * s)::BIGINT AS ss,
+             max(abs(s))::INT AS peak
+      FROM samples GROUP BY k
+    )
+    SELECT 'clip' || lpad(k::VARCHAR, 8, '0') AS clip_id,
+           n_samples,
+           round(sqrt(ss / CAST(n_samples AS DOUBLE)), 9) AS rms,
+           peak
+    FROM agg
+"""
+
+
+@register("audio_stats", _ORACLE_AUDIO_STATS)
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end under a VALUE-EXACT oracle: synthesize
+    fake-pcm int16 clips (media.synthetic_audio — every sample a pure
+    function of (clip, position)), decode through the stubbed-codec
+    path (multimodal.audio_stats, the real mapInPandas plumbing), emit
+    per-clip (n_samples, rms, peak). The sum of squares stays < 2^33,
+    so mean + sqrt are single correctly-rounded IEEE ops on both
+    engines — rms agrees bit-for-bit before the round(9)."""
+    from equi7grid_spark.media import synthetic_audio
+    from equi7grid_spark.operators.multimodal import audio_stats
+
+    clips = synthetic_audio(spark, _N_AUDIO)
+    out = audio_stats(clips)
+    return out.select(
+        "clip_id", "n_samples", F.round("rms", 9).alias("rms"), "peak"
+    )
+
+
+_ORACLE_VIDEO_FRAME_SAMPLE = f"""
+    WITH v AS (
+      SELECT k, 8 + k % 5 AS w, 8 + k % 7 AS h, 4 + k % 5 AS nf
+      FROM generate_series(0, {_N_VIDEO - 1}) t(k)
+    ),
+    f AS (  -- every_n = 2 sampling of the frame index
+      SELECT k, w, h, fi FROM v, generate_series(0, 7) t2(fi)
+      WHERE fi < nf AND fi % 2 = 0
+    ),
+    px AS (
+      SELECT k, fi, w, h,
+             sum((k*7 + fi*13 + r*31 + c*17) % 251)::BIGINT AS px_sum
+      FROM f, generate_series(0, 13) rr(r), generate_series(0, 11) cc(c)
+      WHERE r < h AND c < w
+      GROUP BY k, fi, w, h
+    )
+    SELECT 'vid' || lpad(k::VARCHAR, 6, '0') AS video_id,
+           fi::INT AS frame_idx, w::INT AS w, h::INT AS h, px_sum
+    FROM px
+"""
+
+
+@register("video_frame_sample", _ORACLE_VIDEO_FRAME_SAMPLE)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality end-to-end under a VALUE-EXACT oracle: synthesize
+    fake-frames payloads (media.synthetic_video — every pixel a pure
+    function of (video, frame, row, col)), explode every 2nd frame
+    through the UDTF-shaped sampler (multimodal.sample_video_frames),
+    reduce each sampled frame's bytes with the vectorized Arrow sum
+    (multimodal.binary_u8_sum). The oracle recomputes the per-frame
+    pixel sums straight from the formula."""
+    from equi7grid_spark.media import synthetic_video
+    from equi7grid_spark.operators.multimodal import (
+        binary_u8_sum,
+        sample_video_frames,
+    )
+
+    vids = synthetic_video(spark, _N_VIDEO)
+    frames = sample_video_frames(vids, every_n=2)
+    return frames.select(
+        "video_id", "frame_idx", "w", "h",
+        binary_u8_sum(F.col("bytes")).alias("px_sum"),
+    )
+
+
 @register("image_phash_pipeline", None)
 def q_image_phash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end content-based image dedup: decode pixels -> 32x32 DCT
