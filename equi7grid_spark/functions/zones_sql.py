@@ -156,3 +156,108 @@ def resolve_zone_sql(src: str, id_col: str) -> str:
       SELECT {i}, lon, lat, zc FROM zres
     )
     """
+
+
+@lru_cache(maxsize=1)
+def _membership_values() -> tuple[str, str, str]:
+    """(in_rows, cands_rows, edges_rows) VALUES bodies for the BUFFERED
+    zone MEMBERSHIP test (zones_pip.membership_cands):
+
+    in: (cell_id, zc) — prefilter-IN (cell, zone) pairs;
+    cands: (cell_id, zc, ref_par, refx, refy) — boundary pairs;
+    edges: (cell_id, zc, x1, y1, x2, y2) — cell-local bfrd edges.
+    """
+    from equi7grid_spark.zones_pip import membership_cands
+
+    in_pairs, cands = membership_cands("bfrd", tuple(DEFAULT_SYSTEM_ORDER))
+    in_rows = ",".join(f"({cid},{zc})" for cid, zc in in_pairs)
+    cand_rows: list[str] = []
+    edge_rows: list[str] = []
+    for c in cands:
+        cand_rows.append(
+            f"({c['cell_id']},{c['zc']},"
+            f"{'TRUE' if c['ref_par'] else 'FALSE'},"
+            f"{float(c['refx'])!r},{float(c['refy'])!r})"
+        )
+        for e in c["edges"]:
+            edge_rows.append(
+                f"({c['cell_id']},{c['zc']},{float(e[0])!r},{float(e[1])!r},"
+                f"{float(e[2])!r},{float(e[3])!r})"
+            )
+    return in_rows, ",".join(cand_rows), ",".join(edge_rows)
+
+
+def membership_zone_sql(src: str, id_col: str) -> str:
+    """CTE chain from relation `src` ({id_col}, lon, lat) to relation
+    `members` ({id_col}, zc): one row per (point, containing BUFFERED
+    zone) — the engine's zone_membership(buffered=True) semantics
+    (operators/assign.zones_all_udf; buffered zones overlap, so a
+    point can emit up to 2 rows; reference tests/test_equi7grid.py:
+    412-418). Same two-leg parity arithmetic as resolve_zone_sql, but
+    per (cell, ZONE) with no ordering/truncation — every boundary-pair
+    candidate tests independently. Certified against the engine's
+    ray-crossing membership by tests (zones_pip.membership_numpy twin).
+    """
+    from equi7grid_spark.functions.geodesy_sql import cell_id_sql
+
+    in_rows, cands, edges = _membership_values()
+    i = id_col
+    x_int = (
+        "e.x1 + (p.lat - e.y1) * (e.x2 - e.x1)"
+        " / (CASE WHEN e.y2 - e.y1 = 0.0 THEN 1.0 ELSE e.y2 - e.y1 END)"
+    )
+    y_int = (
+        "e.y1 + (p.refx - e.x1) * (e.y2 - e.y1)"
+        " / (CASE WHEN e.x2 - e.x1 = 0.0 THEN 1.0 ELSE e.x2 - e.x1 END)"
+    )
+    return f"""
+    mcoded AS (
+      SELECT {i}, lon, lat, {cell_id_sql()} AS cell FROM {src}
+    ),
+    min_pairs AS MATERIALIZED (
+      SELECT * FROM (VALUES {in_rows}) AS t(cell_id, zc)
+    ),
+    mdec AS (
+      SELECT p.{i}, CAST(m.zc AS INT) AS zc
+      FROM mcoded p JOIN min_pairs m ON p.cell = m.cell_id
+    ),
+    mcands AS MATERIALIZED (
+      SELECT * FROM (VALUES {cands})
+      AS t(cell_id, zc, ref_par, refx, refy)
+    ),
+    medges AS MATERIALIZED (
+      SELECT * FROM (VALUES {edges})
+      AS t(cell_id, zc, x1, y1, x2, y2)
+    ),
+    mpc AS MATERIALIZED (
+      SELECT b.{i}, b.lon, b.lat, b.cell,
+             c.zc, c.ref_par, c.refx, c.refy
+      FROM mcoded b JOIN mcands c ON b.cell = c.cell_id
+    ),
+    mflip AS MATERIALIZED (
+      SELECT {i}, zc,
+             (count(*) FILTER (WHERE
+                (ycross AND xlo < x_int AND x_int <= xhi)
+                <> (xcross AND ylo < y_int AND y_int <= yhi))) % 2 = 1 AS flip
+      FROM (
+        SELECT p.{i}, p.zc,
+               (e.y1 > p.lat) <> (e.y2 > p.lat) AS ycross,
+               (e.x1 > p.refx) <> (e.x2 > p.refx) AS xcross,
+               least(p.lon, p.refx) AS xlo, greatest(p.lon, p.refx) AS xhi,
+               least(p.lat, p.refy) AS ylo, greatest(p.lat, p.refy) AS yhi,
+               {x_int} AS x_int,
+               {y_int} AS y_int
+        FROM mpc p JOIN medges e ON p.cell = e.cell_id AND p.zc = e.zc
+      ) GROUP BY {i}, zc
+    ),
+    mbnd AS (
+      SELECT p.{i}, CAST(p.zc AS INT) AS zc
+      FROM mpc p LEFT JOIN mflip f USING ({i}, zc)
+      WHERE p.ref_par <> coalesce(f.flip, FALSE)
+    ),
+    members AS (
+      SELECT {i}, zc FROM mdec
+      UNION ALL
+      SELECT {i}, zc FROM mbnd
+    )
+    """

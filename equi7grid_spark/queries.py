@@ -1483,6 +1483,62 @@ def q_zone_assign_full_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("subgrid").agg(F.count(F.lit(1)).alias("n")).orderBy("subgrid")
 
 
+def _oracle_zone_assign_buffered() -> str:
+    """Buffered MEMBERSHIP oracle (round 6): one row per (point,
+    containing buffered zone) via the per-(cell, zone) parity export
+    (functions/zones_sql.membership_zone_sql), rolled up per zone with
+    the multi-membership count."""
+    from equi7grid_spark.functions.zones_sql import membership_zone_sql
+
+    return f"""
+    WITH pts AS ({_SQL_DERIVED_LONLAT}),
+    {membership_zone_sql("pts", "pt_id")},
+    sized AS (
+      SELECT pt_id, zc,
+             count(*) OVER (PARTITION BY pt_id) AS n_zones
+      FROM members
+    )
+    SELECT {_SQL_SUBGRID} AS subgrid,
+           count(*)::BIGINT AS n_member,
+           (count(*) FILTER (WHERE n_zones >= 2))::BIGINT AS n_multi
+    FROM sized GROUP BY subgrid
+    """
+
+
+@register("zone_assign_buffered_counts", _oracle_zone_assign_buffered)
+def q_zone_assign_buffered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUFFERED multi-zone assignment at table scale, value-oracled
+    (round 6 — the last oracle-able reference zone semantic): buffered
+    zones overlap ~100 km past the continental divides, so a point can
+    belong to up to 2 zones (reference search_tiles_in_roi over
+    buffered grids, tests/test_equi7grid.py:412-418). The engine path
+    is the vectorized pandas-UDF membership (operators/assign
+    .zones_all_udf — the exact ray-crossing PIP against the bfrd
+    polygons); n_zones derives from the array size BEFORE the explode,
+    so the plan has no per-point window or extra shuffle. The DuckDB
+    mirror tests every (cell, zone) candidate independently with the
+    two-leg parity export — certified equal to the engine's ray test
+    on every boundary cell by tests/test_zones_pip_membership.py."""
+    from equi7grid_spark.operators.assign import subgrid_from_code, zones_all_udf
+
+    pts = _derived_lonlat(spark, sf_dir, spread=True)
+    udf = zones_all_udf(buffered=True)
+    z = pts.select(udf(F.col("lon"), F.col("lat")).alias("arr"))
+    z = z.select(F.size("arr").alias("n_zones"), F.explode("arr").alias("zc"))
+    return (
+        z.groupBy("zc")
+        .agg(
+            F.count(F.lit(1)).alias("n_member"),
+            F.sum((F.col("n_zones") >= 2).cast("long")).alias("n_multi"),
+        )
+        .select(
+            subgrid_from_code(F.col("zc")).alias("subgrid"),
+            "n_member",
+            "n_multi",
+        )
+    )
+
+
 def _oracle_tile_assign_full() -> str:
     """FULL-domain flagship oracle: parity zone resolve + the 6-round
     unrolled Vincenty mirror + T6 floor keying, over every row."""
@@ -3009,6 +3065,55 @@ def q_image_phash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("image_phash_pipeline", None)
+def q_image_phash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end content-based image dedup: decode pixels -> 32x32 DCT
+    perceptual hash (multimodal.compute_phash, one batched tensor pass
+    per Arrow batch) -> exact-recall banded hamming join
+    (dedup.phash_near_dup). Every 10th image is re-encoded through the
+    lossy q8 codec (~2 LSB) under a new id; the pipeline re-finds
+    those pairs from PIXEL CONTENT alone (measured at n=3000: 298/300
+    planted pairs within hamming<=2; the remainder of the ~320 output
+    pairs are GENUINE content near-dups — the synthetic pixel pattern
+    makes same-size images with nearby indices near-identical, which
+    is exactly what a perceptual hash should catch). Rows-only oracle
+    (binary codecs + DCT not SQL-expressible); deterministic (seeded
+    synthesis, fixed contraction order)."""
+    from equi7grid_spark.dedup import phash_near_dup
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.operators.multimodal import compute_phash, transcode_images
+
+    # Materialize the deterministic fixture once per host and SCAN it:
+    # the union below consumes the source twice, and re-running the
+    # synthesis per branch would benchmark the fixture generator, not
+    # the decode->transcode->phash->dedup pipeline (which in production
+    # reads bytes from a table).
+    imgs = _host_cached_fixture(
+        spark,
+        "pipeline_imgs_3000",
+        synthetic_images(spark, 3000, with_bytes=True),
+        params="synthetic_images(3000, with_bytes=True, seed=42)",
+    )
+    tenth = imgs.filter(
+        F.substring("image_id", 4, 12).cast("long") % 10 == 0
+    )
+    dups = transcode_images(tenth, "q8").withColumn(
+        "image_id", F.concat("image_id", F.lit("_q8"))
+    )
+    allv = imgs.select("image_id", "bytes", "fmt", "w", "h").unionByName(
+        dups.select("image_id", "bytes", "fmt", "w", "h")
+    )
+    hashed = compute_phash(allv)
+    pairs = phash_near_dup(hashed, max_hamming=3)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.substring("id_a", 4, 12) == F.substring("id_b", 4, 12)).cast("long")
+        ).alias("n_planted_refound"),
+        F.max("hamming").alias("max_hamming"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # audio/video modality under value oracles (round 6): the synthetic
 # payloads are pure small-integer byte arithmetic (media.py), so DuckDB
@@ -3105,53 +3210,4 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "video_id", "frame_idx", "w", "h",
         binary_u8_sum(F.col("bytes")).alias("px_sum"),
-    )
-
-
-@register("image_phash_pipeline", None)
-def q_image_phash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end content-based image dedup: decode pixels -> 32x32 DCT
-    perceptual hash (multimodal.compute_phash, one batched tensor pass
-    per Arrow batch) -> exact-recall banded hamming join
-    (dedup.phash_near_dup). Every 10th image is re-encoded through the
-    lossy q8 codec (~2 LSB) under a new id; the pipeline re-finds
-    those pairs from PIXEL CONTENT alone (measured at n=3000: 298/300
-    planted pairs within hamming<=2; the remainder of the ~320 output
-    pairs are GENUINE content near-dups — the synthetic pixel pattern
-    makes same-size images with nearby indices near-identical, which
-    is exactly what a perceptual hash should catch). Rows-only oracle
-    (binary codecs + DCT not SQL-expressible); deterministic (seeded
-    synthesis, fixed contraction order)."""
-    from equi7grid_spark.dedup import phash_near_dup
-    from equi7grid_spark.images import synthetic_images
-    from equi7grid_spark.operators.multimodal import compute_phash, transcode_images
-
-    # Materialize the deterministic fixture once per host and SCAN it:
-    # the union below consumes the source twice, and re-running the
-    # synthesis per branch would benchmark the fixture generator, not
-    # the decode->transcode->phash->dedup pipeline (which in production
-    # reads bytes from a table).
-    imgs = _host_cached_fixture(
-        spark,
-        "pipeline_imgs_3000",
-        synthetic_images(spark, 3000, with_bytes=True),
-        params="synthetic_images(3000, with_bytes=True, seed=42)",
-    )
-    tenth = imgs.filter(
-        F.substring("image_id", 4, 12).cast("long") % 10 == 0
-    )
-    dups = transcode_images(tenth, "q8").withColumn(
-        "image_id", F.concat("image_id", F.lit("_q8"))
-    )
-    allv = imgs.select("image_id", "bytes", "fmt", "w", "h").unionByName(
-        dups.select("image_id", "bytes", "fmt", "w", "h")
-    )
-    hashed = compute_phash(allv)
-    pairs = phash_near_dup(hashed, max_hamming=3)
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(
-            (F.substring("id_a", 4, 12) == F.substring("id_b", 4, 12)).cast("long")
-        ).alias("n_planted_refound"),
-        F.max("hamming").alias("max_hamming"),
     )

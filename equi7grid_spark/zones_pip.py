@@ -113,6 +113,93 @@ def boundary_cands(
     return out
 
 
+@lru_cache(maxsize=4)
+def membership_cands(
+    variant: str = "bfrd",
+    system_order: tuple[str, ...] = DEFAULT_SYSTEM_ORDER,
+) -> tuple[list[tuple[int, int]], list[dict]]:
+    """Per-zone MEMBERSHIP structure (no ordering/truncation — buffered
+    zones overlap, so every zone tests independently; reference
+    search_tiles_in_roi over buffered grids, tests/test_equi7grid.py:
+    412-418):
+
+    (in_pairs, cands) where in_pairs is [(cell_id, zc)] for every
+    (1-degree cell, zone) the prefilter fully decides IN, and cands is
+    one entry per prefilter-BOUNDARY (cell, zone):
+    {cell_id, zc, ref_par, refx, refy, edges float64[n,4]} — the same
+    two-leg parity structure as boundary_cands, against the variant's
+    polygons. A point is a member of zone zc iff (cell, zc) in
+    in_pairs, or the parity test of the matching cand passes.
+    """
+    order = tuple(system_order)
+    pf = load_prefilter(variant)
+    polys = load_zone_polys(variant)
+    in_pairs: list[tuple[int, int]] = []
+    cands: list[dict] = []
+    for j, cc in enumerate(order):
+        st = pf[cc]
+        for ix, iy in np.argwhere(st == PF_IN):
+            in_pairs.append((int(ix * 180 + iy), j))
+        x1, y1, x2, y2, lat_lo, lat_hi, lon_hi = _zone_edges(cc, variant)
+        lon_lo = np.minimum(x1, x2)
+        for ix, iy in np.argwhere(st == PF_BOUNDARY):
+            lon0, lat0 = float(ix) - 180.0, float(iy) - 90.0
+            refx = lon0 + _REF_FX
+            refy = lat0 + _REF_FY
+            m = (
+                (lat_hi >= lat0)
+                & (lat_lo <= lat0 + 1.0)
+                & (lon_hi >= lon0)
+                & (lon_lo <= lon0 + 1.0)
+            )
+            ref_par = bool(
+                points_in_polys(
+                    np.array([refx]), np.array([refy]), polys[cc]
+                )[0]
+            )
+            cands.append(
+                {
+                    "cell_id": int(ix * 180 + iy),
+                    "zc": int(j),
+                    "ref_par": ref_par,
+                    "refx": refx,
+                    "refy": refy,
+                    "edges": np.stack([x1[m], y1[m], x2[m], y2[m]], axis=1),
+                }
+            )
+    return in_pairs, cands
+
+
+def membership_numpy(
+    lon: np.ndarray, lat: np.ndarray, variant: str = "bfrd"
+) -> np.ndarray:
+    """[n_points, n_zones] membership via the cand structure — the
+    validation twin certifying membership_cands against
+    zones.zone_membership (same role as resolve_numpy for std)."""
+    in_pairs, cands = membership_cands(variant)
+    order_n = len(DEFAULT_SYSTEM_ORDER)
+    ix = np.clip(np.floor(lon + 180.0).astype(np.int64), 0, 359)
+    iy = np.clip(np.floor(lat + 90.0).astype(np.int64), 0, 179)
+    cell = ix * 180 + iy
+    member = np.zeros((lon.size, order_n), dtype=bool)
+    in_set = set(in_pairs)
+    for cid in np.unique(cell):
+        m = cell == cid
+        for j in range(order_n):
+            if (int(cid), j) in in_set:
+                member[m, j] = True
+    by_cell: dict[int, list[dict]] = {}
+    for c in cands:
+        by_cell.setdefault(c["cell_id"], []).append(c)
+    for cid, cc in by_cell.items():
+        m = cell == cid
+        if not m.any():
+            continue
+        for cand in cc:
+            member[m, cand["zc"]] = _numpy_parity(cand, lon[m], lat[m])
+    return member
+
+
 def _numpy_parity(cand: dict, X: np.ndarray, Y: np.ndarray) -> np.ndarray:
     """NumPy twin of the Column parity test (for validation/tests)."""
     e = cand["edges"]
