@@ -82,20 +82,38 @@ def resource_path(relpath: str) -> str:
     return str(out)
 
 
+# A stale cache dir must be OLDER than this before pruning touches it:
+# a CONCURRENT session built from a different archive tag (or its
+# executors mid-scan) may still be reading its extraction — deleting a
+# same-uid dir the moment a new tag appears would yank zone parquets
+# out from under a running job (ADVICE r5). Several hours comfortably
+# exceeds any single job on this engine while still bounding /tmp.
+_PRUNE_MIN_AGE_S = 6 * 3600
+
+
 def _prune_stale_caches(current: Path) -> None:
     """Best-effort removal of THIS user's extraction dirs for OTHER
     archive tags after a successful extraction — a long-lived host that
     rebuilds the zip repeatedly would otherwise accumulate unbounded
-    /tmp dirs (ADVICE r4). Other users' dirs (different uid suffix)
-    are untouched; failures (a concurrent process still extracting
-    from an old archive) are ignored — the next successful extraction
-    retries."""
+    /tmp dirs (ADVICE r4). Age-gated (ADVICE r5): only dirs whose
+    mtime is > _PRUNE_MIN_AGE_S old are removed, so a concurrently
+    RUNNING session on an older archive keeps its files; younger
+    stale dirs are picked up by a later extraction. Other users' dirs
+    (different uid suffix) are untouched; failures are ignored — the
+    next successful extraction retries."""
     import shutil
+    import time
 
     prefix = f"equi7grid_spark_res_{os.getuid()}_"
+    cutoff = time.time() - _PRUNE_MIN_AGE_S
     try:
         for d in current.parent.iterdir():
-            if d.name.startswith(prefix) and d != current and d.is_dir():
+            if (
+                d.name.startswith(prefix)
+                and d != current
+                and d.is_dir()
+                and d.stat().st_mtime < cutoff
+            ):
                 shutil.rmtree(d, ignore_errors=True)
     except OSError:
         pass

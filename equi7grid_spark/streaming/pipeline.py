@@ -394,7 +394,14 @@ def streaming_phash_dup_clusters(
         .start()
     )
     q.awaitTermination()
-    return table.read(spark).select("image_id", "cluster_id")
+    try:
+        return table.read(spark).select("image_id", "cluster_id")
+    except FileNotFoundError:
+        # duplicate-free stream: no pair batch ever committed a
+        # snapshot — an empty cluster table, not an error (ADVICE r5)
+        return spark.createDataFrame(
+            [], "image_id string, cluster_id string"
+        )
 
 
 def streaming_multimodal_pairs(

@@ -75,14 +75,27 @@ class IcebergLiteTable:
 
     def manifest_by_id(self, snapshot_id: str) -> dict:
         """Load a manifest by snapshot id (time travel); raises
-        FileNotFoundError for unknown/expired ids."""
+        FileNotFoundError for unknown/expired ids AND for orphan
+        manifests (written by a crash between the manifest write and
+        the CURRENT flip): only ids on the committed parent_id chain
+        are servable — uncommitted writes are never visible (ADVICE
+        r5)."""
         f = self.manifest_dir / f"manifest-{snapshot_id}.json"
         if not f.exists():
             raise FileNotFoundError(
                 f"snapshot {snapshot_id!r} not found under {self.manifest_dir} "
                 "(never committed, or expired by expire_snapshots)"
             )
+        if snapshot_id not in self._chain_ids():
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id!r} exists on disk but is not on the "
+                "committed snapshot chain (orphan from a crashed commit) — "
+                "never visible to readers; gc_uncommitted removes it"
+            )
         return json.loads(f.read_text())
+
+    def _chain_ids(self) -> set[str]:
+        return {s["snapshot_id"] for s in self.snapshots()}
 
     def snapshots(self) -> list[dict]:
         """The committed snapshot chain, newest first: walk parent_id
@@ -104,16 +117,31 @@ class IcebergLiteTable:
             m = json.loads(f.read_text()) if f and f.exists() else None
         return chain
 
+    # Orphan MANIFESTS (written by a crash between the manifest write
+    # and the CURRENT flip) younger than this still pin their data
+    # dirs: the commit window is milliseconds, but a generous grace
+    # keeps gc safe to run next to an in-flight commit from another
+    # process. Older orphans are deleted together with their data.
+    _GC_ORPHAN_GRACE_S = 3600
+
     def gc_uncommitted(self) -> list[str]:
         """Delete orphan snapshot directories (data written by a run
-        that crashed before its manifest flip). A directory is live if
-        ANY manifest on disk references it — not just CURRENT — so
-        history needed for time-travel reads survives gc; bounded
+        that crashed before its manifest flip) and, past a grace
+        period, the orphan manifest files themselves (ADVICE r5 — an
+        orphan manifest must not serve time travel, and once invisible
+        it is garbage). A directory is live if any CHAIN manifest — or
+        a within-grace orphan (possibly an in-flight commit) —
+        references it, so time-travel history survives gc; bounded
         retention is expire_snapshots' job, never gc's."""
+        chain = self._chain_ids()
+        cutoff = time.time() - self._GC_ORPHAN_GRACE_S
         live: set[str] = set()
         for f in self._manifest_files():
             m = json.loads(f.read_text())
-            live.update(p["snap_dir"] for p in m["partitions"])
+            if m["snapshot_id"] in chain or f.stat().st_mtime >= cutoff:
+                live.update(p["snap_dir"] for p in m["partitions"])
+            else:
+                f.unlink()  # aged-out orphan manifest
         removed = []
         if self.data_dir.exists():
             for d in self.data_dir.iterdir():

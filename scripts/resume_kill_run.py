@@ -78,7 +78,10 @@ def main() -> None:
     victim.wait()
     if killed_at is None:
         raise SystemExit("victim finished before the kill — input too small")
-    committed_before = killed_at
+    # Re-read AFTER the victim is dead: another per-subgrid commit can
+    # land between the probe that read `killed_at` and SIGKILL delivery,
+    # and the resume legitimately skips THAT count (ADVICE r5).
+    committed_before = n_committed(ROOT)
 
     # resume to completion
     out = subprocess.run(job_cmd(ROOT), capture_output=True, text=True, check=True)

@@ -151,3 +151,52 @@ def test_expire_drops_fully_superseded_dirs(spark, tmp_path):
     res = t.expire_snapshots(keep_last=1)
     assert res["removed_dirs"] == [snap1]
     assert [r.v for r in t.read(spark).collect()] == [2]
+
+
+def test_orphan_manifest_never_serves_time_travel(spark, tmp_path):
+    """A manifest written by a crash BETWEEN the manifest write and the
+    CURRENT flip must not be readable via read(snapshot_id=...) —
+    uncommitted writes are never visible (ADVICE r5) — and gc removes
+    it (with its data) once past the in-flight grace period."""
+    import json
+    import os
+    import time
+
+    df = spark.createDataFrame([("EU", 1), ("AS", 2)], "subgrid string, v int")
+    t = IcebergLiteTable(tmp_path / "tbl")
+    t.write_partitioned(df, "subgrid", meta={"run": 1})
+
+    # hand-craft the crash: data dir + manifest file, no CURRENT flip
+    orphan_dir = t.data_dir / "snap-orphan1"
+    df.write.partitionBy("subgrid").parquet(str(orphan_dir))
+    orphan_manifest = t.manifest_dir / "manifest-orphan1.json"
+    orphan_manifest.write_text(json.dumps({
+        "snapshot_id": "orphan1",
+        "parent_id": t.current_manifest()["snapshot_id"],
+        "committed_at_unix": time.time(),
+        "meta": {},
+        "partition_col": "subgrid",
+        "partitions": [
+            {"partition": "EU", "snap_dir": "snap-orphan1", "n_rows": 1},
+            {"partition": "AS", "snap_dir": "snap-orphan1", "n_rows": 1},
+        ],
+        "total_rows": 2,
+    }))
+
+    with pytest.raises(FileNotFoundError, match="orphan"):
+        t.read(spark, snapshot_id="orphan1")
+    # the chain listing never shows it either
+    assert "orphan1" not in {s["snapshot_id"] for s in t.snapshots()}
+
+    # within the grace period the orphan pins its data (in-flight commit
+    # tolerance) but stays invisible
+    assert t.gc_uncommitted() == []
+    assert orphan_dir.exists() and orphan_manifest.exists()
+
+    # age it out -> gc removes manifest AND data
+    old = time.time() - IcebergLiteTable._GC_ORPHAN_GRACE_S - 60
+    os.utime(orphan_manifest, (old, old))
+    removed = t.gc_uncommitted()
+    assert "snap-orphan1" in removed
+    assert not orphan_dir.exists() and not orphan_manifest.exists()
+    assert t.read(spark).count() == 2  # committed data untouched
