@@ -513,20 +513,51 @@ def phash_dup_clusters(
     duplicate_clusters for documents): near-dup pairs are not an
     equivalence relation — a re-encode chain A~B~C can hold
     hamming(A,C) > threshold — so canonical-image selection needs the
-    transitive closure, not the raw pair list. Pairs come from the
-    banded multi-index with hot-bucket chunking (phash_near_dup: exact
-    recall, no all-pairs); components are closed by min-label
-    propagation with pointer jumping (connected_components: O(log
-    diameter) rounds, labels localCheckpointed between rounds). Scale:
-    re-encode clusters are star-shaped (variants of one source), so
-    round count stays small even when clusters are huge; long
-    re-encode CHAINS are what the pointer jump is for.
+    transitive closure, not the raw pair list. Components are closed
+    by min-label propagation with pointer jumping
+    (connected_components: O(log diameter) rounds, labels
+    localCheckpointed between rounds). Scale: re-encode clusters are
+    star-shaped (variants of one source), so round count stays small
+    even when clusters are huge; long re-encode CHAINS are what the
+    pointer jump is for.
+
+    Exact-value pre-collapse (round 6): a degenerate corpus
+    (monochrome / flat / letterboxed images) collapses millions of
+    rows onto a handful of phash values — identical phashes are a
+    clique whose pair list is inherently m^2/2, and the clique's
+    canonical is simply its minimum id, so enumerating those pairs is
+    pure waste. The clustering path therefore collapses to ONE
+    representative per distinct phash first (a uniform map-side-
+    partial groupBy on the 64-bit value — no hot window partition),
+    runs the banded multi-index join over representatives only
+    (phash_near_dup: exact recall, hot-bucket chunking still applies
+    to collisions among DISTINCT values), closes components over the
+    rep graph, and expands members at label time: rep_id is the
+    minimum id of its value group, so min-reachable-rep_id IS the
+    component's minimum image id. Intermediates are O(m + distinct
+    pairs), never O(m^2). The PAIR-level view (phash_near_dup itself)
+    keeps m^2 semantics by definition — that is the operator contract,
+    not a plan artifact.
     """
-    pairs = phash_near_dup(
-        imgs, id_col, phash_col, max_hamming, chunk_size=chunk_size
+    m = imgs.filter(
+        F.col(phash_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
+    groups = m.groupBy("ph").agg(
+        F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("n_members")
+    )
+    reps = groups.select(F.col("rep_id").alias("rid"), "ph")
+    rep_pairs = phash_near_dup(
+        reps, "rid", "ph", max_hamming, chunk_size=chunk_size
     ).select("id_a", "id_b")
-    return connected_components(pairs, max_iter).select(
-        F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
+    labels = connected_components(rep_pairs, max_iter).withColumnRenamed(
+        "id", "rep_id"
+    )
+    joined = m.join(groups, "ph").join(labels, "rep_id", "left")
+    return joined.filter(
+        (F.col("n_members") >= 2) | F.col("lab").isNotNull()
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce("lab", "rep_id").alias("cluster_id"),
     )
 
 
