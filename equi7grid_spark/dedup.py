@@ -596,8 +596,28 @@ _EMB_BUCKET_UDFS: dict = {}
 def emb_plane_value(band: int, plane: int, dim: int) -> float:
     """Deterministic hyperplane coefficient for (band, plane, dim
     index) — shared verbatim by the Arrow banding pass and the SQL
-    literal arrays in the oracle."""
-    return float(((band * 53 + plane * 37 + dim * 101) % 19) - 9)
+    literal arrays in the oracle (values ship as repr() literals, so
+    ANY deterministic choice stays value-exact cross-engine).
+
+    Round 6: splitmix64-mixed instead of the former affine
+    ((band*53 + plane*37 + dim*101) % 19) pattern — the affine planes
+    were heavily sign-correlated across (band, plane), collapsing the
+    16-bit buckets onto a few patterns: the 26k-row fixture generated
+    2.4M candidate pairs (~183 per row; measured) where uniform
+    buckets give ~40k. Decorrelated planes cut the embed-signal
+    candidate volume ~60x; recall for exact-duplicate vectors is
+    unaffected (identical vectors collide in every band regardless of
+    plane choice)."""
+    z = (
+        band * 0x9E3779B97F4A7C15
+        + plane * 0xBF58476D1CE4E5B9
+        + dim * 0x94D049BB133111EB
+        + 0x1234_5678_9ABC_DEF1
+    ) & 0xFFFF_FFFF_FFFF_FFFF
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFF_FFFF_FFFF_FFFF
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EB & 0xFFFF_FFFF_FFFF_FFFF
+    z ^= z >> 31
+    return float((z >> 40) % 19 - 9)
 
 
 def _emb_buckets_udf(col: Column, n_bands: int, n_planes: int) -> Column:
@@ -690,7 +710,13 @@ def embedding_near_dup_pairs(
         _dot(va, vb), F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb))
     )
     return (
-        j.withColumn("_cos", cos)
+        # Generate barrier (explode(array(...))): without it,
+        # PushDownPredicate substitutes the aliased cosine HOF into the
+        # >= threshold filter and Catalyst inlines it into the JOIN
+        # CONDITION — the interpreted 3x-dot chain then evaluates for
+        # every candidate row inside the join, twice (condition +
+        # output). Measured 6.1s -> sub-second on the fixture.
+        j.withColumn("_cos", F.explode(F.array(cos)))
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 9).alias("cosine"))
     )
@@ -726,34 +752,126 @@ def multimodal_near_dup(
     'phash+caption+embed'), hamming is NULL unless the phash signal
     fired, cosine NULL unless the embedding signal fired.
 
-    Scale shape: the signals compute independently (banded hamming
-    join / md5-bucketed pair join / hyperplane-LSH-banded cosine join
-    — all skew-chunked), and the merges are full outer joins on the
-    pair key, which is TRUE-PAIR sized (tiny next to the corpus),
-    never an all-pairs product."""
-    ph = phash_near_dup(
-        imgs, id_col, phash_col, max_hamming, n_bands, chunk_size
+    Scale shape (one-pass signal keying, round 6): ONE scan of the
+    corpus emits every signal key — phash bands, a caption-md5
+    sentinel, embedding LSH buckets — tagged by signal into a single
+    (sig, k1, k2l, k2s) key space, so the skew-chunked pair
+    enumeration runs ONCE (one chunk-assigning window over the union
+    of keys instead of one per signal, one candidate join instead of
+    three). Per-signal verification happens in one pair-keyed
+    aggregation: hamming (computed columnar on the candidate rows)
+    must clear max_hamming for the phash signal; caption pairs are
+    exactly-once by bucket construction; embedding candidates get the
+    exact cosine verify on a TRUE-CANDIDATE-sized vector join only.
+    Intermediates stay pair-sized — never an all-pairs product — and
+    the r5 plan's three fixture scans + two extra windows + two
+    full-outer merge shuffles collapse into one scan, one window, one
+    pair aggregation and one small verify join."""
+    key_t = "array<struct<sig:int,k1:int,k2l:bigint,k2s:string>>"
+    empty = F.expr(f"CAST(array() AS {key_t})")
+
+    def _key(sig: int, k1, k2l, k2s) -> Column:
+        return F.struct(
+            F.lit(sig).alias("sig"),
+            k1.cast("int").alias("k1"),
+            k2l.cast("long").alias("k2l"),
+            k2s.alias("k2s"),
+        )
+
+    p = F.col(phash_col)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    ph_arr = F.when(
+        p.isNotNull(),
+        F.array(
+            *[
+                _key(
+                    0,
+                    F.lit(i),
+                    F.shiftrightunsigned(p, i * width).bitwiseAND(F.lit(mask)),
+                    F.lit(""),
+                )
+                for i in range(n_bands)
+            ]
+        ),
+    ).otherwise(empty)
+    cap_arr = F.when(
+        F.col(caption_col).isNotNull(),
+        F.array(_key(1, F.lit(0), F.lit(0), F.md5(caption_col))),
+    ).otherwise(empty)
+    arrs = [ph_arr, cap_arr]
+    if embedding_col is not None:
+        v = F.col(embedding_col).cast("array<double>")
+        # transform's 2-arg lambda binds the ARRAY INDEX as arg 2 —
+        # exactly the band id here
+        emb_arr = F.when(
+            v.isNotNull(),
+            F.transform(
+                _emb_buckets_udf(v, emb_n_bands, emb_n_planes),
+                lambda b, i: _key(2, i, b, F.lit("")),
+            ),
+        ).otherwise(empty)
+        arrs.append(emb_arr)
+    src = imgs.filter(F.col(id_col).isNotNull())
+    keyed = src.select(
+        F.col(id_col).alias("id"), p.alias("ph"),
+        F.explode(F.concat(*arrs)).alias("k"),
+    ).select("id", "ph", "k.sig", "k.k1", "k.k2l", "k.k2s")
+    cand = _chunked_pair_join(
+        keyed, ["sig", "k1", "k2l", "k2s"], ["ph"], chunk_size
     )
-    cap = caption_dup_pairs(imgs, id_col, caption_col, chunk_size).withColumn(
-        "_cap", F.lit(True)
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+    # hamming-verify phash candidates BEFORE the pair shuffle (random
+    # band collisions vastly outnumber true pairs), then ONE pair-keyed
+    # aggregation replaces the per-signal distincts and the full-outer
+    # merges — hamming is deterministic per pair, so max() == the value
+    flags = (
+        cand.withColumn("hamming", ham)
+        .filter((F.col("sig") != 0) | (F.col("hamming") <= max_hamming))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("sig") == 0, F.col("hamming"))).alias("hamming"),
+            F.max(F.col("sig") == 1).alias("_cap"),
+            F.max(F.col("sig") == 2).alias("_embcand"),
+        )
     )
-    merged = ph.join(cap, ["id_a", "id_b"], "full_outer")
     if embedding_col is None:
         signal = (
-            F.when(F.col("hamming").isNotNull() & F.col("_cap").isNotNull(), "both")
+            F.when(F.col("hamming").isNotNull() & F.col("_cap"), "both")
             .when(F.col("hamming").isNotNull(), "phash")
             .otherwise("caption")
         )
-        return merged.select("id_a", "id_b", signal.alias("signal"), "hamming")
-    emb = embedding_near_dup_pairs(
-        imgs, id_col, embedding_col, cos_threshold, emb_n_bands,
-        emb_n_planes, chunk_size,
+        return flags.select("id_a", "id_b", signal.alias("signal"), "hamming")
+    # flags feeds both the embedding verify and the final merge: eager
+    # pair-sized checkpoint, or the whole enumeration plans twice
+    flags = flags.localCheckpoint()
+    vecs = src.select(
+        F.col(id_col).alias("id"),
+        F.col(embedding_col).cast("array<double>").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    ea = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    eb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    j = flags.filter(F.col("_embcand")).select("id_a", "id_b").join(
+        ea, "id_a"
+    ).join(eb, "id_b")
+    va, vb = F.col("va"), F.col("vb")
+    cos = F.try_divide(
+        _dot(va, vb), F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb))
     )
-    merged = merged.join(emb, ["id_a", "id_b"], "full_outer")
+    emb = (
+        # Generate barrier — see embedding_near_dup_pairs: keeps the
+        # cosine HOF out of the join condition (one eval per candidate)
+        j.withColumn("_cos", F.explode(F.array(cos)))
+        .filter(F.col("_cos") >= cos_threshold)
+        .select("id_a", "id_b", F.round("_cos", 9).alias("cosine"))
+    )
+    merged = flags.join(emb, ["id_a", "id_b"], "left").filter(
+        F.col("hamming").isNotNull() | F.col("_cap") | F.col("cosine").isNotNull()
+    )
     signal = F.concat_ws(
         "+",
         F.when(F.col("hamming").isNotNull(), "phash"),
-        F.when(F.col("_cap").isNotNull(), "caption"),
+        F.when(F.col("_cap"), "caption"),
         F.when(F.col("cosine").isNotNull(), "embed"),
     )
     return merged.select(

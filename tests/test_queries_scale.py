@@ -106,13 +106,20 @@ def test_decided_tile_assign_plan_is_jvm_only(spark):
 
 
 def test_multimodal_near_dup_plan_shape(spark):
-    """Cross-signal dedup: both signal joins keyed (chunked), the merge
-    a pair-key join — never a cartesian/nested-loop, no Python."""
+    """Cross-signal dedup (one-pass signal keying, r6): ONE chunked
+    enumeration over the unioned signal keys — exactly one
+    chunk-assigning window — and ONE pair-keyed aggregation instead of
+    per-signal distincts + a FullOuter merge; never a
+    cartesian/nested-loop, no Python (the 2-signal form has no
+    embedding UDF)."""
     plan = _physical(QUERIES["image_multimodal_near_dup"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "FullOuter" in plan
-    assert "BatchEvalPython" not in plan
+    assert "FullOuter" not in plan  # merged into the pair aggregation
+    # ONE chunk-assigning enumeration = one row_number window per join
+    # side (the old per-signal design had one PER SIGNAL per side)
+    assert plan.count("row_number") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_tile_rollup_aggregates_before_expanding(spark):
