@@ -317,6 +317,87 @@ class IcebergLiteTable:
         manifest["skipped_resume"] = skipped
         return manifest
 
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        target_file_rows: int = 5_000_000,
+        meta: dict | None = None,
+    ) -> dict:
+        """Bin-pack the CURRENT table state into a fresh snapshot
+        (Iceberg's rewrite_data_files, in miniature). Streaming commits
+        one snapshot per micro-batch and incremental writes one per
+        partition group — at 100 TB the table accumulates unbounded
+        snapshot directories and manifests between expire_snapshots
+        calls, so every read lists and opens one path per (directory,
+        partition) pair and each commit re-serializes a growing
+        manifest. Compaction reads the manifest-referenced file set
+        once and rewrites it as ONE snapshot directory (collapsing the
+        multi-directory read set), one write task per partition value,
+        files rolled at `target_file_rows` (maxRecordsPerFile — the
+        same pass right-sizes a hot partition that a plain
+        repartition(col) write would emit as one giant file) — then
+        commits
+        a manifest whose every partition points at the new directory,
+        superseding the old file set WITHOUT touching it: time travel
+        to any pre-compaction snapshot id keeps reading the old
+        directories until expire_snapshots retires them. Row counts
+        carry over from the current manifest (compaction moves bytes,
+        never rows), so lineage stays intact."""
+        m = self.current_manifest()
+        if not m or not m["partitions"]:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        col = m.get("partition_col")
+        if col is None:
+            raise ValueError(
+                "compact() needs a partition_col-recorded manifest "
+                "(legacy whole-dir manifests have no partition map)"
+            )
+        dirs_before = {p["snap_dir"] for p in m["partitions"]}
+        files_before = self._data_file_count(dirs_before)
+        snapshot_id = uuid.uuid4().hex[:16]
+        snap_dir = f"snap-{snapshot_id}"
+        t0 = time.time()
+        (
+            self.read(spark)
+            .repartition(col)
+            .write.mode("error")
+            .option("maxRecordsPerFile", target_file_rows)
+            .partitionBy(col)
+            .parquet(str(self.data_dir / snap_dir))
+        )
+        dt = time.time() - t0
+        parts = [
+            {
+                "partition": p["partition"],
+                "rows": p["rows"],
+                "seconds": round(dt, 3),
+                "written_at_unix": time.time(),
+                "snap_dir": snap_dir,
+            }
+            for p in m["partitions"]
+        ]
+        files_after = self._data_file_count({snap_dir})
+        stats = {
+            "op": "compact",
+            "dirs_before": len(dirs_before),
+            "dirs_after": 1,
+            "files_before": files_before,
+            "files_after": files_after,
+            "target_file_rows": target_file_rows,
+        }
+        manifest = self._commit(parts, {**(meta or {}), **stats}, snapshot_id, col)
+        manifest.update(stats)
+        return manifest
+
+    def _data_file_count(self, snap_dirs: set[str]) -> int:
+        return sum(
+            1
+            for d in snap_dirs
+            for f in (self.data_dir / d).rglob("part-*")
+            if f.is_file()
+        )
+
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
         """Read the table as of a committed snapshot (CURRENT when
         `snapshot_id` is None — time travel otherwise). Reads exactly

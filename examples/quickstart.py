@@ -197,6 +197,8 @@ def spark_flows() -> None:
         )
         assert eu_now["count"] == 0 and eu_then["count"] > 0
         assert len(t.snapshots()) == 2
+        mc = t.compact(spark)  # bin-pack the 2-directory read set
+        assert (mc["dirs_before"], mc["dirs_after"]) == (2, 1)
         t.expire_snapshots(keep_last=1)
         print(f"time travel: EU {eu_then['count']} -> {eu_now['count']}")
 
