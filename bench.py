@@ -71,6 +71,8 @@ HEADLINE = [
     "image_multimodal_near_dup",  # phash OR caption cross-signal dedup
     "image_multimodal_embed_near_dup",  # + embedding LSH signal (r5)
     "image_phash_dup_clusters",  # iterative min-label closure (r5)
+    "zone_assign_buffered_counts",  # buffered-membership pandas PIP (r6)
+    "audio_stats",             # audio modality decode->stats (r6)
 ]
 
 
@@ -180,8 +182,18 @@ def _measured_run(n: int) -> tuple[dict, float]:
     return stats, stats.get("steal_frac", outer)
 
 
+# The wide (4N-core) side has a BIMODAL slow mode INVISIBLE to the
+# steal filter: identical pinned 12-core runs measured 95.6s vs 139.9s
+# at <=0.2% steal (BENCH/BASELINE.md r5) — host memory-bandwidth
+# contention that only the bandwidth-bound side feels. Its signature
+# is a wall >25% over the session's best wall AT THE SAME core count,
+# so any attempt over that ratio is re-run like an over-steal attempt
+# (VERDICT r5 #4).
+SLOW_MODE_WALL_RATIO = float(os.environ.get("BENCH_SLOW_MODE_RATIO", "1.25"))
+
+
 def measure_scaling(rounds: int = SCALING_ROUNDS, max_extra: int = 4) -> dict:
-    """Steal-filtered median-of-paired-rounds estimator.
+    """Steal- and slow-mode-filtered median-of-paired-rounds estimator.
 
     This VM suffers hypervisor CPU-steal epochs lasting minutes
     (observed: the same pinned 12-core job at 27.5s → 36.0s → 44.5s
@@ -193,52 +205,69 @@ def measure_scaling(rounds: int = SCALING_ROUNDS, max_extra: int = 4) -> dict:
     (default 1.5% — far stricter than the headline queries' 4%,
     because a 3% epoch on the small side alone moves a pair by ~0.1)
     is re-run (bounded by `max_extra` extra subprocesses per side).
-    The reported efficiency is the median over `rounds` (default 5)
-    near-in-time (4N, N) pairs; every attempt's steal fraction is
-    recorded, and each pair carries its two ACCEPTED steal fractions
-    plus an over_cap flag, so a sub-0.8 pair is auditable against its
-    steal readings instead of reading as an engine regression."""
+    A second filter catches the steal-invisible BIMODAL slow mode
+    (SLOW_MODE_WALL_RATIO): an attempt whose wall exceeds the
+    session's best wall at the same core count by >25% re-runs under
+    the same budget. The reported efficiency is the median over
+    `rounds` (default 5) near-in-time (4N, N) pairs; every attempt's
+    steal fraction is recorded, and each pair carries its accepted
+    steal fractions, its wall-vs-session-best ratios and its rerun
+    count, so a sub-0.8 pair is auditable against steal AND slow-mode
+    readings instead of reading as an engine regression."""
     ensure_images()
     effs, best, steals, pair_details = [], {}, [], []
+    session_best_wall: dict[int, float] = {}
     for r in range(rounds):
-        pair, pair_steal, pair_over = {}, {}, False
+        pair, pair_steal, pair_wall, pair_over = {}, {}, {}, False
+        pair_reruns = 0
         for n in (4 * SCALE_N, SCALE_N):
             retries = 0  # budget is per side, per the docstring
-            # on retry exhaustion accept the LOWEST-steal attempt seen,
-            # not the last one — a retry loop that ends inside a steal
-            # epoch must not discard an earlier near-clean measurement
-            side_best = None  # (steal, stats, rps)
+            # on retry exhaustion accept the best attempt seen — prefer
+            # under-cap steal, then the FASTEST wall (a retry loop that
+            # ends inside a steal epoch or a slow-mode window must not
+            # discard an earlier clean measurement)
+            side_best = None  # (over_cap, wall, steal, stats, rps)
             while True:
                 time.sleep(15)
                 stats, steal = _measured_run(n)
-                rps = stats["images"] / stats["seconds"]
+                wall = stats["seconds"]
+                rps = stats["images"] / wall
                 print(
                     f"# round {r}: local[{n}] pinned {stats['images']} imgs "
-                    f"in {stats['seconds']}s = {rps:,.0f} img/s "
+                    f"in {wall}s = {rps:,.0f} img/s "
                     f"(steal {steal:.1%})",
                     file=sys.stderr,
                 )
                 steals.append(round(steal, 4))  # every attempt, for audit
-                if side_best is None or steal < side_best[0]:
-                    side_best = (steal, stats, rps)
-                if steal <= SCALING_STEAL_MAX:
+                floor = session_best_wall.get(n)
+                session_best_wall[n] = wall if floor is None else min(floor, wall)
+                key = (steal > SCALING_STEAL_MAX, wall)
+                if side_best is None or key < (side_best[0], side_best[1]):
+                    side_best = (key[0], wall, steal, stats, rps)
+                slow_mode = (
+                    floor is not None and wall > floor * SLOW_MODE_WALL_RATIO
+                )
+                if steal <= SCALING_STEAL_MAX and not slow_mode:
                     break
                 if retries >= max_extra:
-                    steal, stats, rps = side_best
-                    pair_over = steal > SCALING_STEAL_MAX
+                    _, wall, steal, stats, rps = side_best
+                    pair_over = pair_over or steal > SCALING_STEAL_MAX
                     print(
                         f"# round {r}: retries exhausted, keeping best "
-                        f"attempt (steal {steal:.1%})",
+                        f"attempt (steal {steal:.1%}, wall {wall}s)",
                         file=sys.stderr,
                     )
                     break
                 retries += 1
-                print(f"# round {r}: steal too high, re-running", file=sys.stderr)
+                pair_reruns += 1
+                why = "slow-mode wall" if slow_mode else "steal too high"
+                print(f"# round {r}: {why}, re-running", file=sys.stderr)
                 # steal epochs last minutes — escalate the wait so the
                 # later retries can actually outlive one
                 time.sleep(45 * retries)
             pair[n] = rps
             pair_steal[n] = round(steal, 4)
+            pair_wall[n] = wall
             cur = best.get(n)
             if cur is None or rps > cur["rows_per_sec"]:
                 best[n] = {
@@ -252,9 +281,21 @@ def measure_scaling(rounds: int = SCALING_ROUNDS, max_extra: int = 4) -> dict:
             "efficiency": round(eff, 3),
             f"steal_{4*SCALE_N}c": pair_steal[4 * SCALE_N],
             f"steal_{SCALE_N}c": pair_steal[SCALE_N],
+            f"wall_{4*SCALE_N}c": pair_wall[4 * SCALE_N],
+            f"wall_{SCALE_N}c": pair_wall[SCALE_N],
+            "reruns": pair_reruns,
             "over_cap": pair_over,
         })
         print(f"# round {r}: pair efficiency {eff:.3f}", file=sys.stderr)
+    # retrospective slow-mode annotation: each accepted wall vs the
+    # SESSION-FINAL best wall at its core count (the prospective guard
+    # can only compare against the best seen SO FAR — round 0 has no
+    # floor, so its ratio is only knowable here)
+    for d in pair_details:
+        for n in (4 * SCALE_N, SCALE_N):
+            d[f"wall_ratio_{n}c"] = round(
+                d[f"wall_{n}c"] / session_best_wall[n], 3
+            )
     effs.sort()
     res = {f"local{n}": v for n, v in best.items()}
     res["pair_efficiencies"] = [round(e, 3) for e in effs]
@@ -263,6 +304,7 @@ def measure_scaling(rounds: int = SCALING_ROUNDS, max_extra: int = 4) -> dict:
     res["scaling_efficiency_max"] = round(effs[-1], 3)
     res["pair_details"] = pair_details
     res["scaling_steal_cap"] = SCALING_STEAL_MAX
+    res["slow_mode_wall_ratio"] = SLOW_MODE_WALL_RATIO
     res["steal_fracs"] = steals
     return res
 
