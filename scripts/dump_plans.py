@@ -114,14 +114,48 @@ def main() -> None:
         plan_of(ph),
     ))
 
+    from equi7grid_spark.dedup import phash_dup_clusters
+    from equi7grid_spark.images import synthetic_images as _synth
+
+    cl = phash_dup_clusters(
+        _synth(spark, 2000, with_bytes=False), max_hamming=3
+    )
+    sections.append((
+        "Phash clustering with exact-value pre-collapse (r6)",
+        "The clustering path never enumerates within-value pairs: a "
+        "uniform map-side-partial groupBy collapses identical phashes "
+        "to one representative, the banded chunk window and candidate "
+        "join run over REPRESENTATIVES only, and members re-attach by "
+        "a (ph -> rep_id, label) join at the end — a degenerate "
+        "corpus (millions of rows over a handful of phash values) "
+        "costs O(m + distinct pairs), not O(m^2). The plan below reads "
+        "the converged label frame from its localCheckpoint (lineage "
+        "truncated) and joins it back to the member list.",
+        plan_of(cl),
+    ))
+
+    buf = queries()["zone_assign_buffered_counts"](
+        spark, "/root/testdata/sf0.001"
+    )
+    sections.append((
+        "Buffered multi-zone membership counts (r6)",
+        "The pandas-UDF membership (exact ray-crossing PIP against the "
+        "bfrd polygons) returns an array of zone codes; n_zones is "
+        "taken from the ARRAY SIZE before the explode, so the plan has "
+        "no per-point window — one Arrow stage, one Generate, one "
+        "aggregation exchange on the 7-value zone code.",
+        plan_of(buf),
+    ))
+
     mm = queries()["image_multimodal_near_dup"](spark, "/root/testdata/sf0.001")
     sections.append((
-        "Cross-signal multimodal dedup (phash OR caption, r4)",
-        "Both signal joins are skew-chunked self-joins on their keys "
-        "(band values + chunk pair / caption md5 + chunk pair); the "
-        "signal merge is a full outer join on the TRUE-PAIR key set — "
-        "tiny next to the corpus — with provenance derived from null "
-        "sides. No cartesian, no Python.",
+        "Cross-signal multimodal dedup (one-pass signal keying, r6)",
+        "ONE scan emits every signal key (phash bands + caption-md5 "
+        "sentinel) tagged into a unified (sig, k1, k2l, k2s) space, so "
+        "the skew-chunked enumeration and its chunk window run once; "
+        "ONE pair-keyed aggregation replaces the per-signal distincts "
+        "and the full-outer merge, with provenance derived from the "
+        "per-signal flags. No cartesian, no Python.",
         plan_of(mm),
     ))
 
