@@ -542,9 +542,13 @@ def phash_dup_clusters(
     m = imgs.filter(
         F.col(phash_col).isNotNull() & F.col(id_col).isNotNull()
     ).select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
+    # eager checkpoint: groups feeds the banded join (both chunked
+    # sides) AND the member re-attach — three consumers would re-run
+    # the corpus groupBy each; the frame is distinct-phash-sized
+    # (24 B/row), so one local write beats three aggregations
     groups = m.groupBy("ph").agg(
         F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("n_members")
-    )
+    ).localCheckpoint()
     reps = groups.select(F.col("rep_id").alias("rid"), "ph")
     rep_pairs = phash_near_dup(
         reps, "rid", "ph", max_hamming, chunk_size=chunk_size

@@ -2549,10 +2549,22 @@ def _phash_variant_corpus(spark: SparkSession) -> DataFrame:
             ),
         ),
     )
-    return (
+    allv = (
         base.select(F.explode(variants).alias("s"))
         .filter(F.col("s").isNotNull())
         .select("s.image_id", "s.phash")
+    )
+    # The clustering consumers scan the corpus several times (groupBy
+    # to representatives, member re-attach join, banded join sides) —
+    # materialize the deterministic fixture once per host so the bench
+    # measures the dedup operators, not repeated splitmix synthesis
+    # (in production the corpus is a stored table; same pattern as the
+    # multimodal fixtures).
+    return _host_cached_fixture(
+        spark,
+        f"phash_variants_{_N_IMG_ORACLE}",
+        allv,
+        params=f"n={_N_IMG_ORACLE};v1%10 ham1;v4%40 mask14",
     )
 
 

@@ -139,3 +139,20 @@ def test_duplicate_clusters_max_iter_semantics(spark):
         connected_components(path, max_iter=1).collect()
     labs = {r.id: r.lab for r in connected_components(path, max_iter=4).collect()}
     assert labs == {i: 0 for i in range(8)}
+
+
+def test_roundtrip_err_buckets_fallback_equals_kernel(spark, monkeypatch):
+    """lonlat_roundtrip_err_buckets must produce identical bucket
+    counts on the compiled-kernel path and the Column-chain fallback —
+    both chains close < 1e-11 deg, two decades inside the first
+    bucket edge, so the integer counts cannot differ."""
+    from equi7grid_spark.operators import kernel
+
+    rows = lambda: sorted(
+        map(tuple, QUERIES["lonlat_roundtrip_err_buckets"](spark, SF).collect())
+    )
+    with_kernel = rows()
+    monkeypatch.setattr(kernel, "kernel_available", lambda s: False)
+    assert rows() == with_kernel
+    # every point must close under 1e-9 deg — the tripwire is armed
+    assert all(b == "lt_1e9" for (_, b, _n) in with_kernel)

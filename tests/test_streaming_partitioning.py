@@ -515,3 +515,34 @@ def test_streaming_phash_dup_clusters_matches_batch_with_merge(spark, tmp_path):
         for r in t.read(spark, snapshot_id=chain[-1]["snapshot_id"]).collect()
     }
     assert "c2" not in first and first["a0"] == "a0" and first["b1"] == "b0"
+
+
+def test_streaming_phash_dup_clusters_empty_corpus(spark, tmp_path):
+    """A duplicate-free stream commits no snapshot; the operator must
+    return an EMPTY (image_id, cluster_id) frame, not raise
+    FileNotFoundError from the never-created table (ADVICE r5)."""
+    import shutil
+
+    from equi7grid_spark.streaming.pipeline import streaming_phash_dup_clusters
+
+    rows = [
+        ("u0", "2026-01-01 10:00:00", 0x0123_4567_89AB_CDEF),
+        ("u1", "2026-01-01 10:00:01", 0x7F0F_0F0F_0F0F_0F0F),
+        ("u2", "2026-01-01 10:00:02", 0x5555_AAAA_3333_CCCC),
+    ]
+    src = tmp_path / "empty_stream"
+    src.mkdir()
+    staging = tmp_path / "_stage_empty"
+    spark.createDataFrame(
+        rows, "image_id string, ts_s string, phash long"
+    ).selectExpr(
+        "image_id", "CAST(ts_s AS TIMESTAMP) AS ts", "phash"
+    ).coalesce(1).write.parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    shutil.move(str(part), str(src / "f1.parquet"))
+
+    out = streaming_phash_dup_clusters(
+        spark, str(src), str(tmp_path / "labels_empty"), watermark="1 hour"
+    )
+    assert out.columns == ["image_id", "cluster_id"]
+    assert out.count() == 0
