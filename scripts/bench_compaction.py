@@ -1,0 +1,83 @@
+"""Compaction read A/B (round 6): how much does the accumulated
+multi-directory read set cost, and does compact() recover it?
+
+Builds an iceberg-lite table the way a long-running incremental/
+streaming pipeline does — N_COMMITS commits, each committing a slice
+of partitions into its OWN snapshot directory — then times a full
+read+aggregate BEFORE and AFTER compact(). The pre-compaction read
+opens one path per (directory, partition) pair; the post-compaction
+read scans one directory. Prints one JSON line.
+
+Usage: python scripts/bench_compaction.py [rows] [n_parts] [n_commits]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from equi7grid_spark.session import get_spark  # noqa: E402
+from equi7grid_spark.table.manifest import IcebergLiteTable  # noqa: E402
+
+
+def timed_read(spark, t: IcebergLiteTable) -> tuple[float, int]:
+    t0 = time.time()
+    n = t.read(spark).groupBy("part").agg(F.sum("v")).count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    n_parts = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_commits = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    spark = get_spark(app_name="compaction_ab", master="local[32]",
+                      shuffle_partitions=64)
+    with tempfile.TemporaryDirectory() as d:
+        t = IcebergLiteTable(f"{d}/tbl")
+        df = spark.range(rows).select(
+            F.concat(F.lit("p"), F.lpad((F.col("id") % n_parts).cast("string"), 3, "0")).alias("part"),
+            F.col("id").alias("v"),
+        ).localCheckpoint()
+        # one snapshot per partition group, the incremental/streaming shape
+        t.write_partitioned_incremental(
+            df, "part", group_size=max(1, n_parts // n_commits),
+            materialize=False,
+        )
+        m = t.current_manifest()
+        dirs_before = len({p["snap_dir"] for p in m["partitions"]})
+        timed_read(spark, t)  # warm
+        pre, n1 = timed_read(spark, t)
+        pre2, _ = timed_read(spark, t)
+        cm = t.compact(spark, target_file_rows=5_000_000)
+        timed_read(spark, t)  # warm
+        post, n2 = timed_read(spark, t)
+        post2, _ = timed_read(spark, t)
+        assert n1 == n2 == n_parts
+        # manifest byte cost per commit pre/post
+        man_bytes = sum(
+            f.stat().st_size for f in (Path(d) / "tbl" / "_manifests").glob("*.json")
+        )
+        print(json.dumps({
+            "metric": "compaction_read_ab",
+            "rows": rows,
+            "n_parts": n_parts,
+            "dirs_before": dirs_before,
+            "dirs_after": 1,
+            "files_before": cm["files_before"],
+            "files_after": cm["files_after"],
+            "read_pre_compact_sec": round(min(pre, pre2), 3),
+            "read_post_compact_sec": round(min(post, post2), 3),
+            "manifest_bytes_on_disk": man_bytes,
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
