@@ -647,19 +647,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer pieces (GPT-2-style coarse classes: letter
+# runs, single digits, punctuation runs) — syntax chosen to mean the
+# same thing in Java regex (Spark) and RE2 (DuckDB)
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+
 @register(
     "token_count",
-    """
+    f"""
     SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}'))::INT AS n_subtokens,
            length(text)::INT AS n_chars_actual
     FROM documents
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways a data pipeline needs it: whitespace
+    tokens (split) and BPE-ish pre-tokenizer pieces (regexp_count over
+    coarse GPT-2-style classes — the budget estimator used before a
+    real tokenizer pass). Both integer columns, value-exact vs DuckDB."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("int").alias(
+            "n_subtokens"
+        ),
         F.length("text").cast("int").alias("n_chars_actual"),
     )
 
