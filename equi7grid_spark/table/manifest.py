@@ -31,6 +31,8 @@ Layout under <root>/:
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import shutil
 import time
@@ -40,6 +42,37 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _json_scalar(v):
+    """JSON-safe copy of an aggregated stat value. Non-JSON types
+    degrade order-preservingly where possible: dates/timestamps to ISO
+    strings (lexicographic == chronological), Decimal to float;
+    anything else to str()."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return str(v)
+
+
+def _range_may_match(stats: dict | None, lo, hi) -> bool:
+    """Conservative manifest-pruning test: keep the partition unless
+    its recorded [min, max] provably cannot intersect [lo, hi]. Missing
+    or NULL stats, open bounds, and cross-type comparisons all keep."""
+    if not stats:
+        return True
+    mn, mx = stats.get("min"), stats.get("max")
+    try:
+        if lo is not None and mx is not None and mx < lo:
+            return False
+        if hi is not None and mn is not None and mn > hi:
+            return False
+    except TypeError:  # stored type vs bound type mismatch: keep
+        return True
+    return True
 
 
 class IcebergLiteTable:
@@ -213,11 +246,19 @@ class IcebergLiteTable:
         *,
         meta: dict | None = None,
         resume: bool = True,
+        stat_cols: list[str] | None = None,
     ) -> dict:
         """Write `df` partitioned by `partition_col` into a fresh
         snapshot directory; skip partitions the current manifest already
         committed (resume); record per-partition row counts + duration
-        as lineage. Data becomes visible only at the manifest flip."""
+        as lineage. Data becomes visible only at the manifest flip.
+
+        `stat_cols` opts columns into Iceberg-style manifest stats: the
+        lineage agg also collects per-partition min/max for each named
+        column, stored on the partition entry — `read(prune=...)` then
+        skips (directory, partition) pairs whose range cannot match, at
+        manifest-planning time, before any file listing. The extra agg
+        columns ride the SAME groupBy job the row counts already pay."""
         if resume:
             self.gc_uncommitted()
         done = self.committed_partitions() if resume else set()
@@ -226,14 +267,15 @@ class IcebergLiteTable:
         snapshot_id = uuid.uuid4().hex[:16]
         snap_dir = f"snap-{snapshot_id}"
         t0 = time.time()
-        # per-partition row counts (lineage) — one extra small agg job
-        counts = {
-            r[0]: r[1]
-            for r in df.groupBy(partition_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+        # per-partition row counts + optional min/max stats (lineage) —
+        # one extra small agg job regardless of how many stat cols ride
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in stat_cols or []:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        lineage = {
+            r[0]: r for r in df.groupBy(partition_col).agg(*aggs).collect()
         }
-        if counts:
+        if lineage:
             (
                 df.repartition(partition_col)
                 .write.mode("error")
@@ -244,15 +286,28 @@ class IcebergLiteTable:
         parts = [
             {
                 "partition": str(k),
-                "rows": int(v),
+                "rows": int(r["n"]),
                 "seconds": round(dt, 3),
                 "written_at_unix": time.time(),
                 "snap_dir": snap_dir,
+                **(
+                    {
+                        "stats": {
+                            c: {
+                                "min": _json_scalar(r[f"_min_{c}"]),
+                                "max": _json_scalar(r[f"_max_{c}"]),
+                            }
+                            for c in stat_cols
+                        }
+                    }
+                    if stat_cols
+                    else {}
+                ),
             }
-            for k, v in sorted(counts.items())
+            for k, r in sorted(lineage.items())
         ]
         manifest = self._commit(parts, meta or {}, snapshot_id, partition_col)
-        manifest["newly_written"] = sorted(counts)
+        manifest["newly_written"] = sorted(str(k) for k in lineage)
         manifest["skipped_resume"] = sorted(done)
         return manifest
 
@@ -266,6 +321,7 @@ class IcebergLiteTable:
         group_size: int = 1,
         max_groups: int | None = None,
         materialize: bool = True,
+        stat_cols: list[str] | None = None,
     ) -> dict:
         """Partition-level checkpointing: one snapshot + manifest flip
         per group of `group_size` partition values (deterministic
@@ -309,7 +365,8 @@ class IcebergLiteTable:
         for group in groups:
             part_df = df.filter(F.col(partition_col).isin(group))
             manifest = self.write_partitioned(
-                part_df, partition_col, meta=meta, resume=False
+                part_df, partition_col, meta=meta, resume=False,
+                stat_cols=stat_cols,
             )
             written.extend(manifest["newly_written"])
         manifest = dict(manifest)
@@ -323,6 +380,7 @@ class IcebergLiteTable:
         *,
         target_file_rows: int = 5_000_000,
         meta: dict | None = None,
+        sort_cols: list[str] | None = None,
     ) -> dict:
         """Bin-pack the CURRENT table state into a fresh snapshot
         (Iceberg's rewrite_data_files, in miniature). Streaming commits
@@ -343,7 +401,15 @@ class IcebergLiteTable:
         to any pre-compaction snapshot id keeps reading the old
         directories until expire_snapshots retires them. Row counts
         carry over from the current manifest (compaction moves bytes,
-        never rows), so lineage stays intact."""
+        never rows), so lineage stays intact.
+
+        `sort_cols` is Iceberg's rewrite-with-sort-order: rows are
+        sorted by those columns WITHIN each partition's write tasks, so
+        rolled files and their parquet row groups cover tight,
+        near-disjoint value ranges — the layout under which engine-side
+        footer-stats pruning (and any future file-grain manifest stats)
+        actually skips data. Partition-grain manifest min/max are
+        unchanged by construction (same rows per partition)."""
         m = self.current_manifest()
         if not m or not m["partitions"]:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
@@ -358,10 +424,11 @@ class IcebergLiteTable:
         snapshot_id = uuid.uuid4().hex[:16]
         snap_dir = f"snap-{snapshot_id}"
         t0 = time.time()
+        src = self.read(spark).repartition(col)
+        if sort_cols:
+            src = src.sortWithinPartitions(col, *sort_cols)
         (
-            self.read(spark)
-            .repartition(col)
-            .write.mode("error")
+            src.write.mode("error")
             .option("maxRecordsPerFile", target_file_rows)
             .partitionBy(col)
             .parquet(str(self.data_dir / snap_dir))
@@ -374,6 +441,9 @@ class IcebergLiteTable:
                 "seconds": round(dt, 3),
                 "written_at_unix": time.time(),
                 "snap_dir": snap_dir,
+                # compaction moves bytes, never rows — min/max stats
+                # carry over with the row counts
+                **({"stats": p["stats"]} if p.get("stats") else {}),
             }
             for p in m["partitions"]
         ]
@@ -385,6 +455,7 @@ class IcebergLiteTable:
             "files_before": files_before,
             "files_after": files_after,
             "target_file_rows": target_file_rows,
+            "sort_cols": list(sort_cols or []),
         }
         manifest = self._commit(parts, {**(meta or {}), **stats}, snapshot_id, col)
         manifest.update(stats)
@@ -398,7 +469,44 @@ class IcebergLiteTable:
             if f.is_file()
         )
 
-    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+    def plan_scan(
+        self,
+        snapshot_id: str | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> tuple[list[dict], list[dict]]:
+        """Manifest-level scan planning (Iceberg's manifest-entry
+        filtering, in miniature): split the snapshot's partition
+        entries into (kept, skipped) under `prune` = {col: (lo, hi)}
+        range predicates (either bound None = open). A partition is
+        skipped only when EVERY pruned column's recorded [min, max]
+        provably misses its range; entries written without stats for a
+        column are conservatively kept. Pure metadata — no Spark, no
+        file listing: this is the decision a 1000-executor driver makes
+        before touching the object store."""
+        m = (
+            self.manifest_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_manifest()
+        )
+        if not m or not m["partitions"]:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        kept, skipped = [], []
+        for p in m["partitions"]:
+            stats = p.get("stats") or {}
+            keep = all(
+                _range_may_match(stats.get(c), lo, hi)
+                for c, (lo, hi) in (prune or {}).items()
+            )
+            (kept if keep else skipped).append(p)
+        return kept, skipped
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        *,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Read the table as of a committed snapshot (CURRENT when
         `snapshot_id` is None — time travel otherwise). Reads exactly
         the (snap_dir, partition) pairs the manifest references, so a
@@ -407,7 +515,13 @@ class IcebergLiteTable:
         left in an older directory after an overwrite are never
         unioned in. Files from an uncommitted (crashed) write are
         never visible. Partition values must not contain '/' or '='
-        (they become hive-style path segments)."""
+        (they become hive-style path segments).
+
+        `prune` = {col: (lo, hi)} skips partitions whose manifest
+        min/max stats (see write_partitioned stat_cols) cannot contain
+        matching rows — scan PLANNING only, and conservative: the
+        caller still applies the actual row filter; pruning just keeps
+        provably-irrelevant directories out of the listing."""
         m = (
             self.manifest_by_id(snapshot_id)
             if snapshot_id is not None
@@ -416,8 +530,9 @@ class IcebergLiteTable:
         if not m or not m["partitions"]:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
         col = m.get("partition_col")
+        entries, _ = self.plan_scan(snapshot_id, prune)
         by_dir: dict[str, list[str]] = {}
-        for p in m["partitions"]:
+        for p in entries:
             by_dir.setdefault(p["snap_dir"], []).append(p["partition"])
         frames = []
         for snap_dir, parts in sorted(by_dir.items()):
@@ -431,4 +546,19 @@ class IcebergLiteTable:
                 frames.append(
                     spark.read.option("basePath", str(base)).parquet(*paths)
                 )
+        if not frames:
+            # everything pruned: empty frame with the table's schema
+            # (one footer read of the first referenced partition path)
+            p0 = m["partitions"][0]
+            base = self.data_dir / p0["snap_dir"]
+            path = (
+                str(base)
+                if col is None
+                else str(base / f"{col}={p0['partition']}")
+            )
+            return (
+                spark.read.option("basePath", str(base))
+                .parquet(path)
+                .where(F.lit(False))
+            )
         return reduce(lambda a, b: a.unionByName(b), frames)

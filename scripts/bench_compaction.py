@@ -1,12 +1,19 @@
-"""Compaction read A/B (round 6): how much does the accumulated
-multi-directory read set cost, and does compact() recover it?
+"""Compaction + manifest-pruning read A/B (round 6): how much does the
+accumulated multi-directory read set cost, does compact() recover it,
+and what does manifest-stat pruning save on a ranged read?
 
 Builds an iceberg-lite table the way a long-running incremental/
 streaming pipeline does — N_COMMITS commits, each committing a slice
-of partitions into its OWN snapshot directory — then times a full
-read+aggregate BEFORE and AFTER compact(). The pre-compaction read
-opens one path per (directory, partition) pair; the post-compaction
-read scans one directory. Prints one JSON line.
+of partitions into its OWN snapshot directory — then times (a) a full
+read+aggregate BEFORE and AFTER compact() (the pre-compaction read
+opens one path per (directory, partition) pair; post-compaction scans
+one directory), and (b) a narrow range query over the stat column via
+plain read+filter vs read(prune=...)+filter. Layout note: v is
+CLUSTERED by partition (contiguous id chunks) so per-partition
+[min, max] ranges are disjoint — the layout under which manifest
+stats can prune at all; under an `id % n` layout every partition
+spans the full v range and stats keep everything, which is exactly
+Iceberg's write-ordering lesson. Prints one JSON line.
 
 Usage: python scripts/bench_compaction.py [rows] [n_parts] [n_commits]
 """
@@ -41,20 +48,49 @@ def main() -> None:
                       shuffle_partitions=64)
     with tempfile.TemporaryDirectory() as d:
         t = IcebergLiteTable(f"{d}/tbl")
+        chunk = rows // n_parts
         df = spark.range(rows).select(
-            F.concat(F.lit("p"), F.lpad((F.col("id") % n_parts).cast("string"), 3, "0")).alias("part"),
+            F.concat(
+                F.lit("p"),
+                F.lpad(
+                    F.least(
+                        F.floor(F.col("id") / chunk), F.lit(n_parts - 1)
+                    ).cast("string"),
+                    3,
+                    "0",
+                ),
+            ).alias("part"),
             F.col("id").alias("v"),
         ).localCheckpoint()
         # one snapshot per partition group, the incremental/streaming shape
         t.write_partitioned_incremental(
             df, "part", group_size=max(1, n_parts // n_commits),
-            materialize=False,
+            materialize=False, stat_cols=["v"],
         )
         m = t.current_manifest()
         dirs_before = len({p["snap_dir"] for p in m["partitions"]})
         timed_read(spark, t)  # warm
         pre, n1 = timed_read(spark, t)
         pre2, _ = timed_read(spark, t)
+
+        # manifest-pruning A/B on the multi-dir table: one 1/64-width
+        # v window; same row filter both sides, only the scan set moves
+        lo, hi = 10 * chunk, 11 * chunk - 1
+        pred = f"v BETWEEN {lo} AND {hi}"
+
+        def timed_range(prune):
+            t0 = time.time()
+            n = t.read(spark, prune=prune).where(pred).count()
+            return time.time() - t0, n
+
+        kept, skipped = t.plan_scan(prune={"v": (lo, hi)})
+        timed_range(None)  # warm
+        full_a, nf = timed_range(None)
+        full_b, _ = timed_range(None)
+        pruned_a, np_ = timed_range({"v": (lo, hi)})
+        pruned_b, _ = timed_range({"v": (lo, hi)})
+        assert nf == np_ == chunk
+
         cm = t.compact(spark, target_file_rows=5_000_000)
         timed_read(spark, t)  # warm
         post, n2 = timed_read(spark, t)
@@ -74,6 +110,10 @@ def main() -> None:
             "files_after": cm["files_after"],
             "read_pre_compact_sec": round(min(pre, pre2), 3),
             "read_post_compact_sec": round(min(post, post2), 3),
+            "range_read_full_sec": round(min(full_a, full_b), 3),
+            "range_read_pruned_sec": round(min(pruned_a, pruned_b), 3),
+            "prune_partitions_kept": len(kept),
+            "prune_partitions_skipped": len(skipped),
             "manifest_bytes_on_disk": man_bytes,
         }))
     spark.stop()

@@ -249,3 +249,140 @@ def test_compact_binpacks_preserving_time_travel(spark, tmp_path):
     assert sorted(map(tuple, t.read(spark).collect())) == pre_rows
     with pytest.raises(FileNotFoundError):
         t.read(spark, snapshot_id=pre["snapshot_id"])
+
+
+def test_manifest_stats_prune_scan_planning(spark, tmp_path):
+    """Iceberg-style manifest stats: stat_cols records per-partition
+    min/max alongside the row counts; read(prune=...) skips provably
+    non-matching (directory, partition) pairs at manifest-planning time
+    (no file listing), stays conservative for stat-less entries, and
+    pruning NEVER changes the filtered result — only the scan set."""
+    # partition P0 holds v in [0,99], P1 [100,199], P2 [200,299]
+    df = spark.createDataFrame(
+        [(f"P{i // 100}", i) for i in range(300)], "part string, v int"
+    )
+    t = IcebergLiteTable(tmp_path / "tbl")
+    m = t.write_partitioned(df, "part", stat_cols=["v"])
+    stats = {p["partition"]: p["stats"]["v"] for p in m["partitions"]}
+    assert stats == {
+        "P0": {"min": 0, "max": 99},
+        "P1": {"min": 100, "max": 199},
+        "P2": {"min": 200, "max": 299},
+    }
+
+    # planning: v in [120, 150] can only live in P1
+    kept, skipped = t.plan_scan(prune={"v": (120, 150)})
+    assert [p["partition"] for p in kept] == ["P1"]
+    assert [p["partition"] for p in skipped] == ["P0", "P2"]
+    # open bounds
+    kept, _ = t.plan_scan(prune={"v": (None, 99)})
+    assert [p["partition"] for p in kept] == ["P0"]
+    kept, _ = t.plan_scan(prune={"v": (200, None)})
+    assert [p["partition"] for p in kept] == ["P2"]
+
+    # pruned read == unpruned read + filter (pruning is planning only;
+    # the caller still applies the row filter)
+    got = sorted(
+        map(
+            tuple,
+            t.read(spark, prune={"v": (120, 150)})
+            .where("v BETWEEN 120 AND 150")
+            .collect(),
+        )
+    )
+    ref = sorted(
+        map(
+            tuple,
+            t.read(spark).where("v BETWEEN 120 AND 150").collect(),
+        )
+    )
+    assert got == ref and len(got) == 31
+    # and the pruned plan really reads fewer files
+    assert len(t.read(spark, prune={"v": (120, 150)}).inputFiles()) < len(
+        t.read(spark).inputFiles()
+    )
+
+    # everything pruned: empty frame, schema intact
+    empty = t.read(spark, prune={"v": (1000, None)})
+    assert empty.count() == 0
+    assert {f.name for f in empty.schema.fields} == {"part", "v"}
+
+    # stat-less entries are conservatively kept: append a partition
+    # without stats, prune on v — the new entry must survive planning
+    t.write_partitioned(
+        spark.createDataFrame([("P3", 5)], "part string, v int"), "part"
+    )
+    kept, _ = t.plan_scan(prune={"v": (120, 150)})
+    assert {p["partition"] for p in kept} == {"P1", "P3"}
+
+
+def test_manifest_stats_survive_compaction_and_incremental(spark, tmp_path):
+    """Stats ride the incremental per-group commits and carry over
+    through compact() unchanged (compaction moves bytes, never rows)."""
+    df = spark.createDataFrame(
+        [(f"P{i // 100}", i) for i in range(300)], "part string, v int"
+    )
+    t = IcebergLiteTable(tmp_path / "tbl")
+    t.write_partitioned_incremental(df, "part", group_size=1, stat_cols=["v"])
+    pre = {
+        p["partition"]: p["stats"]["v"]
+        for p in t.current_manifest()["partitions"]
+    }
+    assert pre["P2"] == {"min": 200, "max": 299}
+    assert len({p["snap_dir"] for p in t.current_manifest()["partitions"]}) == 3
+
+    t.compact(spark, target_file_rows=1000)
+    post = {
+        p["partition"]: p["stats"]["v"]
+        for p in t.current_manifest()["partitions"]
+    }
+    assert post == pre
+    # pruning still plans correctly over the compacted single dir
+    kept, skipped = t.plan_scan(prune={"v": (None, 50)})
+    assert [p["partition"] for p in kept] == ["P0"]
+    assert len(skipped) == 2
+
+
+def test_compact_sort_order_clusters_files(spark, tmp_path):
+    """compact(sort_cols=...) = Iceberg's rewrite-with-sort-order:
+    after the rewrite every rolled file holds a contiguous sorted run
+    of the sort column (tight, near-disjoint per-file ranges — the
+    layout parquet footer-stats pruning needs), with read equality and
+    partition-grain manifest stats unchanged."""
+    import random
+
+    rng = random.Random(7)
+    rows = [("P0", v) for v in rng.sample(range(10_000), 1000)] + [
+        ("P1", v) for v in rng.sample(range(10_000), 1000)
+    ]
+    df = spark.createDataFrame(rows, "part string, v int").repartition(8)
+    t = IcebergLiteTable(tmp_path / "tbl")
+    t.write_partitioned(df, "part", stat_cols=["v"])
+    pre_rows = sorted(map(tuple, t.read(spark).collect()))
+    pre_stats = {
+        p["partition"]: p["stats"]["v"]
+        for p in t.current_manifest()["partitions"]
+    }
+
+    m = t.compact(spark, target_file_rows=250, sort_cols=["v"])
+    assert m["meta"]["sort_cols"] == ["v"]
+    assert sorted(map(tuple, t.read(spark).collect())) == pre_rows
+    assert {
+        p["partition"]: p["stats"]["v"]
+        for p in t.current_manifest()["partitions"]
+    } == pre_stats
+
+    # per-file: sorted within, and file ranges within a partition are
+    # disjoint (each file is one contiguous run of the partition sort)
+    files = t.read(spark).inputFiles()
+    assert len(files) >= 8  # 2 partitions x >=4 rolled files
+    by_part: dict[str, list[tuple[int, int]]] = {}
+    for f in files:
+        vals = [r.v for r in spark.read.parquet(f).select("v").collect()]
+        assert vals == sorted(vals), f"unsorted file {f}"
+        part = [seg for seg in f.split("/") if seg.startswith("part=")][0]
+        by_part.setdefault(part, []).append((vals[0], vals[-1]))
+    for part, ranges in by_part.items():
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"overlapping file ranges in {part}"
