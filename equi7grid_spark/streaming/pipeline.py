@@ -323,6 +323,8 @@ def streaming_phash_dup_clusters(
     n_label_parts: int = 16,
     max_bucket_rows: int = 100_000,
     reader_options: dict | None = None,
+    expire_every: int | None = None,
+    keep_last: int = 3,
 ) -> DataFrame:
     """Custom stateful streaming operator #4 (round 5): continuously
     maintained transitive phash clustering — the streaming twin of
@@ -350,7 +352,16 @@ def streaming_phash_dup_clusters(
     Crash model: a replayed micro-batch re-closes the same edge set
     into identical labels (idempotent snapshot), and a crash mid-write
     leaves an orphan snapshot dir that is invisible and gc'd at the
-    next batch."""
+    next batch.
+
+    In-stream maintenance: every batch OVERWRITES the full label table
+    (a new snapshot dir holding all parts), so a continuous pipeline
+    accumulates one superseded full copy per micro-batch between
+    manual retention passes — unbounded disk and manifest growth at
+    100 TB. `expire_every=N` runs `expire_snapshots(keep_last=)`
+    inside the sink after every N commits, bounding history to the
+    newest `keep_last` snapshots while the stream runs; expiry is
+    idempotent under micro-batch replay like the commits themselves."""
     from equi7grid_spark.dedup import connected_components
     from equi7grid_spark.table.manifest import IcebergLiteTable
 
@@ -359,6 +370,7 @@ def streaming_phash_dup_clusters(
         max_bucket_rows, reader_options=reader_options,
     )
     table = IcebergLiteTable(table_root)
+    n_commits = [0]
 
     def close_batch(batch_df, batch_id):
         if not batch_df.take(1):
@@ -386,6 +398,9 @@ def streaming_phash_dup_clusters(
         table.write_partitioned(
             out, "part", meta={"batch_id": int(batch_id)}, resume=False
         )
+        n_commits[0] += 1
+        if expire_every and n_commits[0] % expire_every == 0:
+            table.expire_snapshots(keep_last=keep_last)
 
     q = (
         pairs.writeStream.foreachBatch(close_batch)

@@ -546,3 +546,73 @@ def test_streaming_phash_dup_clusters_empty_corpus(spark, tmp_path):
     )
     assert out.columns == ["image_id", "cluster_id"]
     assert out.count() == 0
+
+
+def test_streaming_phash_dup_clusters_in_stream_retention(spark, tmp_path):
+    """In-stream maintenance (round 6): every micro-batch overwrites
+    the full label table, so a continuous run accumulates one
+    superseded snapshot copy per batch — expire_every bounds history
+    WHILE the stream runs. With expire_every=1, keep_last=1 the final
+    labels must still equal the batch operator (expiry never touches
+    CURRENT), and both the snapshot chain and the on-disk snap dirs
+    must be bounded at 1."""
+    import shutil
+
+    from equi7grid_spark.dedup import phash_dup_clusters
+    from equi7grid_spark.streaming.pipeline import streaming_phash_dup_clusters
+    from equi7grid_spark.table.manifest import IcebergLiteTable
+
+    base_a = 0x1234_5678_9ABC_DEF0
+    base_b = 0x0F0F_0F0F_0F0F_0F0F
+    rows1 = [("a0", base_a), ("a1", base_a ^ 1), ("b0", base_b)]
+    rows2 = [("b1", base_b ^ 4), ("a2", base_a ^ 2)]  # cross-batch pairs
+    src = tmp_path / "ret_stream"
+    src.mkdir()
+
+    def write_file(rows, name, t0):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            [
+                (iid, f"2026-01-01 10:00:{t0 + i:02d}", ph)
+                for i, (iid, ph) in enumerate(rows)
+            ],
+            "image_id string, ts_s string, phash long",
+        ).selectExpr(
+            "image_id", "CAST(ts_s AS TIMESTAMP) AS ts", "phash"
+        ).coalesce(1).write.parquet(str(staging))
+        shutil.move(
+            str(next(staging.glob("part-*.parquet"))),
+            str(src / f"{name}.parquet"),
+        )
+
+    write_file(rows1, "f1", 0)
+    write_file(rows2, "f2", 30)
+
+    got_df = streaming_phash_dup_clusters(
+        spark,
+        str(src),
+        str(tmp_path / "ret_tbl"),
+        watermark="1 hour",
+        reader_options={"maxFilesPerTrigger": 1},
+        expire_every=1,
+        keep_last=1,
+    )
+    got = {r.image_id: r.cluster_id for r in got_df.collect()}
+    expected = {
+        r.image_id: r.cluster_id
+        for r in phash_dup_clusters(
+            spark.createDataFrame(
+                rows1 + rows2, "image_id string, phash long"
+            ),
+            max_hamming=3,
+        ).collect()
+    }
+    assert got == expected and got["a2"] == "a0" and got["b1"] == "b0"
+
+    t = IcebergLiteTable(tmp_path / "ret_tbl")
+    assert len(t.snapshots()) == 1  # history bounded in-stream
+    snap_dirs = [
+        d for d in t.data_dir.iterdir()
+        if d.is_dir() and d.name.startswith("snap-")
+    ]
+    assert len(snap_dirs) == 1  # superseded full copies reclaimed
