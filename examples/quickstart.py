@@ -181,7 +181,8 @@ def spark_flows() -> None:
     with tempfile.TemporaryDirectory() as d:
         t = IcebergLiteTable(f"{d}/tiles")
         counts = assigned.groupBy("subgrid").count()
-        m1 = t.write_partitioned(counts, "subgrid")
+        # stat_cols records per-partition min/max for manifest pruning
+        m1 = t.write_partitioned(counts, "subgrid", stat_cols=["count"])
         t.write_partitioned(
             counts.filter(F.col("subgrid") == "EU").withColumn(
                 "count", F.col("count") * 0
@@ -200,7 +201,26 @@ def spark_flows() -> None:
         mc = t.compact(spark)  # bin-pack the 2-directory read set
         assert (mc["dirs_before"], mc["dirs_after"]) == (2, 1)
         t.expire_snapshots(keep_last=1)
+        # manifest-stat pruning (round 6): plan the scan from metadata
+        # alone, then verify the pruned read equals read+filter (the
+        # EU entry was overwritten without stats -> conservatively kept)
+        kept, skipped = t.plan_scan(prune={"count": (1, None)})
+        pruned = sorted(
+            map(
+                tuple,
+                t.read(spark, prune={"count": (1, None)})
+                .where("count >= 1")
+                .collect(),
+            )
+        )
+        full = sorted(
+            map(tuple, t.read(spark).where("count >= 1").collect())
+        )
+        assert pruned == full and len(kept) + len(skipped) == 7
         print(f"time travel: EU {eu_then['count']} -> {eu_now['count']}")
+        print(
+            f"manifest pruning: kept {len(kept)}/7 partitions for count>=1"
+        )
 
     spark.stop()
     print("spark flows: OK")
