@@ -195,3 +195,42 @@ def geotrans(
         F.lit(0.0),
         F.lit(-float(sampling)),
     )
+
+
+_MORTON_SPREAD = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _morton_spread(v: Column, bits: int) -> Column:
+    """Spread the low `bits` bits of v so bit i lands at bit 2i
+    (magic-number interleave, 5 shift/mask steps instead of a per-bit
+    unroll — a small fixed expression tree Catalyst codegens)."""
+    out = v.bitwiseAND(F.lit((1 << bits) - 1))
+    for shift, mask in _MORTON_SPREAD:
+        out = (out.bitwiseOR(F.shiftleft(out, shift))).bitwiseAND(F.lit(mask))
+    return out
+
+
+def morton_key(x_idx: Column, y_idx: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) key interleaving two non-negative integer tile
+    indices: bit i of x lands at bit 2i, bit i of y at 2i+1. Sorting by
+    this key places 2D-adjacent tiles in adjacent rows, so
+    ``compact(sort_cols=[...])`` over a ``morton_key`` column clusters
+    a tile table SPATIALLY: rolled files and parquet row groups cover
+    compact 2D neighborhoods and a bbox/ROI range scan touches few of
+    them (Iceberg's z-ordered rewrite, the standard layout for
+    100 TB geospatial tables). `bits` caps each index (default 16 —
+    65k tiles per axis; an Equi7 T1 axis spans < 200); with bits <= 31
+    the key stays below bit 62, inside both Spark's and DuckDB's safe
+    BIGINT shift range. Pure Column expression (10 shift/mask steps),
+    whole-stage-codegen friendly."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    return _morton_spread(x_idx.cast("long"), bits).bitwiseOR(
+        F.shiftleft(_morton_spread(y_idx.cast("long"), bits), 1)
+    )
