@@ -63,16 +63,23 @@ def run(
     if output_root:
         table = IcebergLiteTable(output_root)
         meta = {"input": input_path, "tiling_id": tiling_id, "job": "assign_and_join"}
+        # manifest stats on the tile lower-left coords: a reader with a
+        # projected-bbox predicate prunes whole (snapshot, subgrid)
+        # pairs from metadata (read(prune={"ll_x": ..., "ll_y": ...}))
+        # before any file listing — the same lineage agg pays for them
+        stat_cols = ["ll_x", "ll_y"]
         if incremental_commit:
             # one manifest flip per subgrid: a kill mid-job resumes
             # with the committed continents skipped (scripts/
             # resume_kill_run.py is the at-scale evidence run)
             manifest = table.write_partitioned_incremental(
-                joined, "subgrid", meta=meta, resume=resume
+                joined, "subgrid", meta=meta, resume=resume,
+                stat_cols=stat_cols,
             )
         else:
             manifest = table.write_partitioned(
-                joined, "subgrid", meta=meta, resume=resume
+                joined, "subgrid", meta=meta, resume=resume,
+                stat_cols=stat_cols,
             )
         total = manifest["total_rows"]
         stats = {

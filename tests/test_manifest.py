@@ -386,3 +386,37 @@ def test_compact_sort_order_clusters_files(spark, tmp_path):
         ranges.sort()
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2, f"overlapping file ranges in {part}"
+
+
+def test_flagship_sink_records_geo_stats(spark, tmp_path):
+    """The flagship job's iceberg-lite sink records ll_x/ll_y manifest
+    stats (same lineage agg), so a projected-bbox reader can prune
+    (snapshot, subgrid) pairs from metadata. Pruned read == plain
+    read+filter (pruning is planning only), an out-of-domain bbox
+    prunes everything to an empty frame with the sink schema."""
+    from equi7grid_spark.images import synthetic_images
+    from equi7grid_spark.jobs.assign_and_join import run
+
+    imgs = synthetic_images(spark, 50_000, with_bytes=False)
+    inp = tmp_path / "imgs"
+    imgs.write.parquet(str(inp))
+    out = tmp_path / "tiles"
+    run(spark, str(inp), "T6", str(out))
+
+    t = IcebergLiteTable(out)
+    for p in t.current_manifest()["partitions"]:
+        s = p["stats"]
+        assert s["ll_x"]["min"] <= s["ll_x"]["max"]
+        assert s["ll_y"]["min"] <= s["ll_y"]["max"]
+
+    bbox = {"ll_x": (4.2e6, 5.4e6), "ll_y": (1.2e6, 1.8e6)}
+    pred = (
+        "ll_x BETWEEN 4.2e6 AND 5.4e6 AND ll_y BETWEEN 1.2e6 AND 1.8e6"
+    )
+    got = sorted(map(tuple, t.read(spark, prune=bbox).where(pred).collect()))
+    ref = sorted(map(tuple, t.read(spark).where(pred).collect()))
+    assert got == ref and got  # non-empty window, identical rows
+
+    empty = t.read(spark, prune={"ll_x": (1e9, None)})
+    assert empty.count() == 0
+    assert "tilename" in empty.columns and "subgrid" in empty.columns
