@@ -213,12 +213,15 @@ class IcebergLiteTable:
         meta: dict,
         snapshot_id: str,
         partition_col: str | None = None,
+        drop_partitions: set[str] | None = None,
     ) -> dict:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         prev = self.current_manifest()
         merged: dict[str, dict] = {}
         if prev:
             merged.update({p["partition"]: p for p in prev["partitions"]})
+        for k in drop_partitions or ():
+            merged.pop(k, None)
         merged.update({p["partition"]: p for p in partitions})
         manifest = {
             "snapshot_id": snapshot_id,
@@ -265,49 +268,14 @@ class IcebergLiteTable:
         if done:
             df = df.filter(~F.col(partition_col).isin(sorted(done)))
         snapshot_id = uuid.uuid4().hex[:16]
-        snap_dir = f"snap-{snapshot_id}"
-        t0 = time.time()
         # per-partition row counts + optional min/max stats (lineage) —
         # one extra small agg job regardless of how many stat cols ride
-        aggs = [F.count(F.lit(1)).alias("n")]
-        for c in stat_cols or []:
-            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-        lineage = {
-            r[0]: r for r in df.groupBy(partition_col).agg(*aggs).collect()
-        }
-        if lineage:
-            (
-                df.repartition(partition_col)
-                .write.mode("error")
-                .partitionBy(partition_col)
-                .parquet(str(self.data_dir / snap_dir))
-            )
-        dt = time.time() - t0
-        parts = [
-            {
-                "partition": str(k),
-                "rows": int(r["n"]),
-                "seconds": round(dt, 3),
-                "written_at_unix": time.time(),
-                "snap_dir": snap_dir,
-                **(
-                    {
-                        "stats": {
-                            c: {
-                                "min": _json_scalar(r[f"_min_{c}"]),
-                                "max": _json_scalar(r[f"_max_{c}"]),
-                            }
-                            for c in stat_cols
-                        }
-                    }
-                    if stat_cols
-                    else {}
-                ),
-            }
-            for k, r in sorted(lineage.items())
-        ]
+        parts = self._rewrite_entries(
+            df, partition_col, f"snap-{snapshot_id}", stat_cols or [],
+            time.time(),
+        )
         manifest = self._commit(parts, meta or {}, snapshot_id, partition_col)
-        manifest["newly_written"] = sorted(str(k) for k in lineage)
+        manifest["newly_written"] = sorted(p["partition"] for p in parts)
         manifest["skipped_resume"] = sorted(done)
         return manifest
 
@@ -461,6 +429,253 @@ class IcebergLiteTable:
         manifest.update(stats)
         return manifest
 
+    def _frames_for_entries(
+        self, spark: SparkSession, entries: list[dict], col: str | None
+    ) -> list[DataFrame]:
+        """One DataFrame per referenced snapshot directory, restricted to
+        exactly the (directory, partition) pairs in `entries`."""
+        by_dir: dict[str, list[str]] = {}
+        for p in entries:
+            by_dir.setdefault(p["snap_dir"], []).append(p["partition"])
+        frames = []
+        for snap_dir, parts in sorted(by_dir.items()):
+            base = self.data_dir / snap_dir
+            if col is None:
+                # legacy manifests (no partition_col recorded): whole-dir
+                # union — correct for the append-only resume model
+                frames.append(spark.read.parquet(str(base)))
+            else:
+                paths = [str(base / f"{col}={v}") for v in sorted(parts)]
+                frames.append(
+                    spark.read.option("basePath", str(base)).parquet(*paths)
+                )
+        return frames
+
+    def _read_entries(
+        self, spark: SparkSession, entries: list[dict], col: str
+    ) -> DataFrame:
+        frames = self._frames_for_entries(spark, entries, col)
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    @staticmethod
+    def _entry_stat_cols(entries: list[dict]) -> list[str]:
+        cols: set[str] = set()
+        for p in entries:
+            cols.update((p.get("stats") or {}).keys())
+        return sorted(cols)
+
+    def _rewrite_entries(
+        self,
+        df: DataFrame,
+        col: str,
+        snap_dir: str,
+        stat_cols: list[str],
+        t0: float,
+    ) -> list[dict]:
+        """Write `df` partitionBy(col) into `snap_dir` and build manifest
+        entries (rows + optional min/max stats) for the partitions that
+        actually contain rows. Shared tail of the copy-on-write ops."""
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        lineage = {r[0]: r for r in df.groupBy(col).agg(*aggs).collect()}
+        if lineage:
+            (
+                df.repartition(col)
+                .write.mode("error")
+                .partitionBy(col)
+                .parquet(str(self.data_dir / snap_dir))
+            )
+        dt = time.time() - t0
+        return [
+            {
+                "partition": str(k),
+                "rows": int(r["n"]),
+                "seconds": round(dt, 3),
+                "written_at_unix": time.time(),
+                "snap_dir": snap_dir,
+                **(
+                    {
+                        "stats": {
+                            c: {
+                                "min": _json_scalar(r[f"_min_{c}"]),
+                                "max": _json_scalar(r[f"_max_{c}"]),
+                            }
+                            for c in stat_cols
+                        }
+                    }
+                    if stat_cols
+                    else {}
+                ),
+            }
+            for k, r in sorted(lineage.items())
+        ]
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        *,
+        prune: dict[str, tuple] | None = None,
+        meta: dict | None = None,
+    ) -> dict:
+        """Copy-on-write row-level DELETE (Iceberg's copy-on-write
+        `DELETE FROM`, in miniature): rewrite ONLY the partitions that
+        actually contain matching rows; every other file entry carries
+        over into the new snapshot untouched — at 100 TB an opt-out /
+        retention delete that hits 3 of 10 000 partitions moves 0.03%
+        of the bytes. Two-phase plan:
+
+        1. Manifest pruning (free): `prune` = {col: (lo, hi)} skips
+           partitions whose recorded stats provably cannot contain a
+           matching row — the CALLER asserts the predicate implies
+           those ranges (same contract as read(prune=...), but for
+           writes: an unsound prune here loses deletes, so when in
+           doubt pass none and let phase 2 decide).
+        2. Match counting (one cheap scan of the kept set): partitions
+           with zero matching rows keep their existing entries —
+           scanned once, never rewritten.
+
+        Matching rows are removed; partitions left empty are dropped
+        from the manifest. Time travel to any pre-delete snapshot still
+        reads the original files until expire_snapshots. `condition`
+        is a Column or SQL string. Returns the new manifest plus
+        rewritten / dropped / deleted_rows / pruned_untouched audit
+        fields; commits NOTHING (and returns the current manifest) when
+        no row matches."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        m = self.current_manifest()
+        if not m or not m["partitions"]:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        col = m.get("partition_col")
+        if col is None:
+            raise ValueError("delete_where() needs a partition_col manifest")
+        kept, pruned = self.plan_scan(prune=prune)
+        by_part = {p["partition"]: p for p in m["partitions"]}
+        # phase 2: count matches per partition over the kept set only
+        matches = {
+            r[0]: int(r[1])
+            for r in (
+                self._read_entries(spark, kept, col)
+                .filter(cond)
+                .groupBy(col)
+                .agg(F.count(F.lit(1)))
+                .collect()
+            )
+        }
+        affected = sorted(str(k) for k, n in matches.items() if n > 0)
+        if not affected:
+            out = dict(m)
+            out.update(
+                {
+                    "op": "delete_where",
+                    "rewritten": [],
+                    "dropped": [],
+                    "deleted_rows": 0,
+                    "pruned_untouched": sorted(
+                        p["partition"] for p in pruned
+                    ),
+                    "committed": False,
+                }
+            )
+            return out
+        snapshot_id = uuid.uuid4().hex[:16]
+        t0 = time.time()
+        aff_entries = [by_part[v] for v in affected]
+        remainder = self._read_entries(spark, aff_entries, col).filter(~cond)
+        parts = self._rewrite_entries(
+            remainder,
+            col,
+            f"snap-{snapshot_id}",
+            self._entry_stat_cols(aff_entries),
+            t0,
+        )
+        dropped = sorted(set(affected) - {p["partition"] for p in parts})
+        stats = {
+            "op": "delete_where",
+            "rewritten": [p["partition"] for p in parts],
+            "dropped": dropped,
+            "deleted_rows": sum(int(matches[k]) for k in matches),
+            "pruned_untouched": sorted(p["partition"] for p in pruned),
+            "committed": True,
+        }
+        manifest = self._commit(
+            parts, {**(meta or {}), **stats}, snapshot_id, col,
+            drop_partitions=set(affected),
+        )
+        manifest.update(stats)
+        return manifest
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        *,
+        meta: dict | None = None,
+        stat_cols: list[str] | None = None,
+    ) -> dict:
+        """Copy-on-write MERGE (upsert): every source row replaces the
+        target row with the same `key_cols` or is inserted. Only the
+        partitions the source actually touches are rewritten — the
+        rewrite set is the source's distinct partition values, so a
+        daily corpus-refresh batch that lands in 5 of 10 000 partitions
+        rewrites 5. Untouched file entries carry over; time travel to
+        the pre-merge snapshot keeps working until expiry.
+
+        Semantics (matching Iceberg's copy-on-write MERGE WHEN MATCHED
+        UPDATE / WHEN NOT MATCHED INSERT): for each touched partition,
+        new data = old rows anti-joined away on `key_cols` ∪ all source
+        rows. The source must have the table's schema (partition_col
+        included) and non-null keys; keys are assumed unique within the
+        source (last-writer ambiguity is the caller's problem, as in
+        SQL MERGE). Stats for rewritten/new partitions are recomputed
+        over `stat_cols` (default: the columns the touched entries
+        already carry stats for — falling back to the table-wide stat
+        set for brand-new partitions)."""
+        m = self.current_manifest()
+        if not m or not m["partitions"]:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        col = m.get("partition_col")
+        if col is None:
+            raise ValueError("merge_upsert() needs a partition_col manifest")
+        by_part = {p["partition"]: p for p in m["partitions"]}
+        touched = sorted(
+            str(r[0])
+            for r in source.select(col).distinct().collect()
+            if r[0] is not None
+        )
+        existing = [v for v in touched if v in by_part]
+        aff_entries = [by_part[v] for v in existing]
+        scols = stat_cols or self._entry_stat_cols(
+            aff_entries or m["partitions"]
+        )
+        snapshot_id = uuid.uuid4().hex[:16]
+        t0 = time.time()
+        if existing:
+            old = self._read_entries(spark, aff_entries, col)
+            source = source.select(*old.columns)  # align column order
+            new_df = old.join(source, on=key_cols, how="left_anti").unionByName(
+                source
+            )
+        else:
+            new_df = source
+        parts = self._rewrite_entries(
+            new_df, col, f"snap-{snapshot_id}", scols, t0
+        )
+        stats = {
+            "op": "merge_upsert",
+            "rewritten": existing,
+            "new_partitions": sorted(set(touched) - set(existing)),
+            "untouched": len(by_part) - len(existing),
+        }
+        manifest = self._commit(
+            parts, {**(meta or {}), **stats}, snapshot_id, col,
+            drop_partitions=set(existing),
+        )
+        manifest.update(stats)
+        return manifest
+
     def _data_file_count(self, snap_dirs: set[str]) -> int:
         return sum(
             1
@@ -531,21 +746,7 @@ class IcebergLiteTable:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
         col = m.get("partition_col")
         entries, _ = self.plan_scan(snapshot_id, prune)
-        by_dir: dict[str, list[str]] = {}
-        for p in entries:
-            by_dir.setdefault(p["snap_dir"], []).append(p["partition"])
-        frames = []
-        for snap_dir, parts in sorted(by_dir.items()):
-            base = self.data_dir / snap_dir
-            if col is None:
-                # legacy manifests (no partition_col recorded): whole-dir
-                # union — correct for the append-only resume model
-                frames.append(spark.read.parquet(str(base)))
-            else:
-                paths = [str(base / f"{col}={v}") for v in sorted(parts)]
-                frames.append(
-                    spark.read.option("basePath", str(base)).parquet(*paths)
-                )
+        frames = self._frames_for_entries(spark, entries, col)
         if not frames:
             # everything pruned: empty frame with the table's schema
             # (one footer read of the first referenced partition path)

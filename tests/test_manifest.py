@@ -5,6 +5,7 @@ duplicate rows after a crash between data write and manifest flip)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from equi7grid_spark.table.manifest import IcebergLiteTable
 
@@ -420,3 +421,107 @@ def test_flagship_sink_records_geo_stats(spark, tmp_path):
     empty = t.read(spark, prune={"ll_x": (1e9, None)})
     assert empty.count() == 0
     assert "tilename" in empty.columns and "subgrid" in empty.columns
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """Copy-on-write DELETE: only partitions that actually contain
+    matching rows are rewritten; stat-pruned and zero-match partitions
+    keep their original file entries byte-for-byte; emptied partitions
+    drop out of the manifest; time travel to the pre-delete snapshot
+    still reads every original row."""
+    # P0 holds v in [0,99], P1 [100,199], P2 [200,299], P3 [300,399]
+    df = spark.createDataFrame(
+        [(f"P{i // 100}", i) for i in range(400)], "part string, v int"
+    )
+    t = IcebergLiteTable(tmp_path / "tbl")
+    m0 = t.write_partitioned(df, "part", stat_cols=["v"])
+    dirs0 = {p["partition"]: p["snap_dir"] for p in m0["partitions"]}
+
+    # delete v in [120, 150]: prune keeps P1+P2 is wrong — stats say
+    # only P1 can match; pass a DELIBERATELY loose prune (120, 250) so
+    # phase 2 must discover that P2 (kept by prune) has zero matches
+    m1 = t.delete_where(
+        spark, "v BETWEEN 120 AND 150", prune={"v": (120, 250)}
+    )
+    assert m1["committed"] is True
+    assert m1["rewritten"] == ["P1"]          # P2 scanned, not rewritten
+    assert m1["dropped"] == []
+    assert m1["deleted_rows"] == 31
+    assert m1["pruned_untouched"] == ["P0", "P3"]
+    cur = {p["partition"]: p for p in t.current_manifest()["partitions"]}
+    # untouched entries carry over identically (same snapshot dir)
+    for v in ("P0", "P2", "P3"):
+        assert cur[v]["snap_dir"] == dirs0[v]
+    assert cur["P1"]["snap_dir"] != dirs0["P1"]
+    # stats recomputed for the rewritten partition
+    assert cur["P1"]["stats"]["v"] == {"min": 100, "max": 199}
+    assert cur["P1"]["rows"] == 69
+    got = sorted(r[0] for r in t.read(spark).select("v").collect())
+    assert got == [i for i in range(400) if not (120 <= i <= 150)]
+
+    # time travel to pre-delete: all 400 rows still there
+    assert t.read(spark, snapshot_id=m0["snapshot_id"]).count() == 400
+
+    # delete everything in P2: the partition drops from the manifest
+    m2 = t.delete_where(spark, F.col("part") == "P2")
+    assert m2["rewritten"] == [] and m2["dropped"] == ["P2"]
+    assert m2["deleted_rows"] == 100
+    assert "P2" not in t.committed_partitions()
+    assert t.read(spark).count() == 269
+
+    # zero-match delete: no snapshot committed, chain unchanged
+    n_before = len(t.snapshots())
+    m3 = t.delete_where(spark, "v > 10000")
+    assert m3["committed"] is False and m3["deleted_rows"] == 0
+    assert len(t.snapshots()) == n_before
+
+
+def test_merge_upsert_copy_on_write(spark, tmp_path):
+    """Copy-on-write MERGE: source rows replace same-key target rows or
+    insert; only source-touched partitions rewrite (untouched entries
+    carry over), brand-new partitions append, stats recompute, and the
+    result equals the naive anti-join ∪ source recompute."""
+    df = spark.createDataFrame(
+        [(f"P{i % 3}", i, i * 10) for i in range(30)],
+        "part string, id int, v int",
+    )
+    t = IcebergLiteTable(tmp_path / "tbl")
+    m0 = t.write_partitioned(df, "part", stat_cols=["v"])
+    dirs0 = {p["partition"]: p["snap_dir"] for p in m0["partitions"]}
+
+    # source: update ids 0,3 (P0), insert id 100 (P0), new partition P9
+    src = spark.createDataFrame(
+        [("P0", 0, -1), ("P0", 3, -2), ("P0", 100, -3), ("P9", 200, -4)],
+        "part string, id int, v int",
+    )
+    m1 = t.merge_upsert(spark, src, ["id"])
+    assert m1["rewritten"] == ["P0"]
+    assert m1["new_partitions"] == ["P9"]
+    assert m1["untouched"] == 2
+
+    cols = ["part", "id", "v"]
+    ref = sorted(
+        map(
+            tuple,
+            df.join(src, "id", "left_anti")
+            .unionByName(src)
+            .select(cols)
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, t.read(spark).select(cols).collect()))
+    assert got == ref
+
+    cur = {p["partition"]: p for p in t.current_manifest()["partitions"]}
+    for v in ("P1", "P2"):
+        assert cur[v]["snap_dir"] == dirs0[v]      # not rewritten
+    assert cur["P0"]["snap_dir"] != dirs0["P0"]
+    assert cur["P0"]["rows"] == 11                 # 10 − 2 replaced + 3 src
+    # stats recomputed over the merged partition (negative v now present)
+    assert cur["P0"]["stats"]["v"]["min"] == -3
+    assert cur["P9"]["stats"]["v"] == {"min": -4, "max": -4}
+
+    # time travel to pre-merge snapshot: original values intact
+    old = t.read(spark, snapshot_id=m0["snapshot_id"])
+    assert old.count() == 30
+    assert old.filter("id = 0").select("v").collect()[0][0] == 0
