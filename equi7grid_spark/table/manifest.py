@@ -42,6 +42,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, StructField, StructType
 
 
 def _json_scalar(v):
@@ -214,6 +215,8 @@ class IcebergLiteTable:
         snapshot_id: str,
         partition_col: str | None = None,
         drop_partitions: set[str] | None = None,
+        schema: dict | None = None,
+        column_defaults: dict | None = None,
     ) -> dict:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         prev = self.current_manifest()
@@ -230,6 +233,12 @@ class IcebergLiteTable:
             "meta": meta,
             "partition_col": partition_col
             or (prev.get("partition_col") if prev else None),
+            "schema": schema
+            if schema is not None
+            else (prev.get("schema") if prev else None),
+            "column_defaults": column_defaults
+            if column_defaults is not None
+            else ((prev.get("column_defaults") if prev else None) or {}),
             "partitions": sorted(merged.values(), key=lambda p: p["partition"]),
             "total_rows": sum(p["rows"] for p in merged.values()),
         }
@@ -274,7 +283,10 @@ class IcebergLiteTable:
             df, partition_col, f"snap-{snapshot_id}", stat_cols or [],
             time.time(),
         )
-        manifest = self._commit(parts, meta or {}, snapshot_id, partition_col)
+        manifest = self._commit(
+            parts, meta or {}, snapshot_id, partition_col,
+            schema=self._merged_schema_json(df.schema),
+        )
         manifest["newly_written"] = sorted(p["partition"] for p in parts)
         manifest["skipped_resume"] = sorted(done)
         return manifest
@@ -425,9 +437,163 @@ class IcebergLiteTable:
             "target_file_rows": target_file_rows,
             "sort_cols": list(sort_cols or []),
         }
-        manifest = self._commit(parts, {**(meta or {}), **stats}, snapshot_id, col)
+        manifest = self._commit(
+            parts, {**(meta or {}), **stats}, snapshot_id, col,
+            # backfills the recorded schema for legacy (pre-schema)
+            # tables; a no-op merge otherwise — and since the rewrite
+            # read is schema-reconciled, compaction also physically
+            # migrates pre-evolution files to the current schema
+            schema=self._merged_schema_json(src.schema),
+        )
         manifest.update(stats)
         return manifest
+
+    # -- schema evolution ---------------------------------------------
+    def schema(self, snapshot_id: str | None = None) -> StructType | None:
+        """The table schema as of a snapshot (CURRENT by default), or
+        None for legacy manifests written before schemas were recorded
+        (compact() backfills those)."""
+        m = (
+            self.manifest_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_manifest()
+        )
+        if not m or not m.get("schema"):
+            return None
+        return StructType.fromJson(m["schema"])
+
+    def _merged_schema_json(self, written: StructType) -> dict:
+        """Evolve the recorded schema with a write's schema: existing
+        fields keep their definitions (a write can never implicitly
+        drop or retype a column — drops are explicit via
+        drop_columns), new fields append in write order. This is
+        Iceberg's union-by-name schema merge."""
+        cur = self.schema()
+        if cur is None:
+            return written.jsonValue()
+        names = {f.name for f in cur.fields}
+        fields = list(cur.fields) + [
+            f for f in written.fields if f.name not in names
+        ]
+        return StructType(fields).jsonValue()
+
+    def add_columns(
+        self,
+        cols: dict[str, "DataType | str"],
+        *,
+        defaults: dict | None = None,
+        meta: dict | None = None,
+    ) -> dict:
+        """Metadata-only ADD COLUMN (Iceberg schema evolution): commit
+        a new snapshot whose schema appends `cols` — NO data file is
+        touched, so at 100 TB this is a JSON write. Rows written before
+        the column existed read back as the column's default (from
+        `defaults`, stored in the manifest — Iceberg's initial-default)
+        or NULL; rows written afterwards carry real values. Types are
+        `pyspark.sql.types.DataType` instances or DDL strings
+        ("double", "array<float>" — DDL parsing needs an active
+        SparkSession). Time travel to a pre-add snapshot reads the old
+        schema."""
+        m = self.current_manifest()
+        if not m or not m["partitions"]:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        cur = self.schema()
+        if cur is None:
+            raise ValueError(
+                "table has no recorded schema (written by an older build) "
+                "— run compact() once to backfill it"
+            )
+        names = {f.name for f in cur.fields}
+        fields = list(cur.fields)
+        for name, t in cols.items():
+            if name in names:
+                raise ValueError(f"column {name!r} already exists")
+            dt = DataType.fromDDL(t) if isinstance(t, str) else t
+            fields.append(StructField(name, dt, nullable=True))
+        new_defaults = dict(m.get("column_defaults") or {})
+        for name, v in (defaults or {}).items():
+            if name not in cols:
+                raise ValueError(f"default for unknown new column {name!r}")
+            new_defaults[name] = _json_scalar(v)
+        snapshot_id = uuid.uuid4().hex[:16]
+        stats = {"op": "add_columns", "added": sorted(cols)}
+        manifest = self._commit(
+            [], {**(meta or {}), **stats}, snapshot_id,
+            schema=StructType(fields).jsonValue(),
+            column_defaults=new_defaults,
+        )
+        manifest.update(stats)
+        return manifest
+
+    def drop_columns(self, names: list[str], *, meta: dict | None = None) -> dict:
+        """Metadata-only DROP COLUMN: commit a new snapshot whose
+        schema omits `names`; reads project the columns away — data
+        files keep the bytes until partitions rewrite (delete/merge/
+        compact), and time travel to a pre-drop snapshot still shows
+        them. The partition column cannot be dropped."""
+        m = self.current_manifest()
+        if not m or not m["partitions"]:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        cur = self.schema()
+        if cur is None:
+            raise ValueError(
+                "table has no recorded schema (written by an older build) "
+                "— run compact() once to backfill it"
+            )
+        have = {f.name for f in cur.fields}
+        missing = [n for n in names if n not in have]
+        if missing:
+            raise ValueError(f"cannot drop unknown columns {missing}")
+        if m.get("partition_col") in names:
+            raise ValueError("cannot drop the partition column")
+        fields = [f for f in cur.fields if f.name not in set(names)]
+        new_defaults = {
+            k: v
+            for k, v in (m.get("column_defaults") or {}).items()
+            if k not in set(names)
+        }
+        snapshot_id = uuid.uuid4().hex[:16]
+        stats = {"op": "drop_columns", "dropped": sorted(names)}
+        manifest = self._commit(
+            [], {**(meta or {}), **stats}, snapshot_id,
+            schema=StructType(fields).jsonValue(),
+            column_defaults=new_defaults,
+        )
+        manifest.update(stats)
+        return manifest
+
+    @staticmethod
+    def _reconcile_frames(
+        frames: list[DataFrame],
+        target: StructType | None,
+        defaults: dict | None,
+    ) -> list[DataFrame]:
+        """Project every physical frame onto the target schema
+        (Iceberg's read-time schema resolution): columns a frame lacks
+        (written before an add_columns) materialize as the recorded
+        default or NULL; columns dropped from the schema project away;
+        everything casts to the declared type (also normalizing
+        hive-path partition-value type inference) in schema order. No
+        target (legacy manifest): frames pass through for the plain
+        unionByName read."""
+        if target is None:
+            return frames
+        d = defaults or {}
+        out = []
+        for f in frames:
+            have = set(f.columns)
+            out.append(
+                f.select(
+                    *(
+                        (F.col(fld.name) if fld.name in have
+                         else F.lit(d.get(fld.name)))
+                        .cast(fld.dataType)
+                        .alias(fld.name)
+                        for fld in target.fields
+                    )
+                )
+            )
+        return out
 
     def _frames_for_entries(
         self, spark: SparkSession, entries: list[dict], col: str | None
@@ -452,9 +618,19 @@ class IcebergLiteTable:
         return frames
 
     def _read_entries(
-        self, spark: SparkSession, entries: list[dict], col: str
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        col: str,
+        manifest: dict | None = None,
     ) -> DataFrame:
         frames = self._frames_for_entries(spark, entries, col)
+        if manifest and manifest.get("schema"):
+            frames = self._reconcile_frames(
+                frames,
+                StructType.fromJson(manifest["schema"]),
+                manifest.get("column_defaults"),
+            )
         return reduce(lambda a, b: a.unionByName(b), frames)
 
     @staticmethod
@@ -556,7 +732,7 @@ class IcebergLiteTable:
         matches = {
             r[0]: int(r[1])
             for r in (
-                self._read_entries(spark, kept, col)
+                self._read_entries(spark, kept, col, m)
                 .filter(cond)
                 .groupBy(col)
                 .agg(F.count(F.lit(1)))
@@ -582,7 +758,7 @@ class IcebergLiteTable:
         snapshot_id = uuid.uuid4().hex[:16]
         t0 = time.time()
         aff_entries = [by_part[v] for v in affected]
-        remainder = self._read_entries(spark, aff_entries, col).filter(~cond)
+        remainder = self._read_entries(spark, aff_entries, col, m).filter(~cond)
         parts = self._rewrite_entries(
             remainder,
             col,
@@ -653,7 +829,7 @@ class IcebergLiteTable:
         snapshot_id = uuid.uuid4().hex[:16]
         t0 = time.time()
         if existing:
-            old = self._read_entries(spark, aff_entries, col)
+            old = self._read_entries(spark, aff_entries, col, m)
             source = source.select(*old.columns)  # align column order
             new_df = old.join(source, on=key_cols, how="left_anti").unionByName(
                 source
@@ -757,9 +933,15 @@ class IcebergLiteTable:
                 if col is None
                 else str(base / f"{col}={p0['partition']}")
             )
-            return (
+            frames = [
                 spark.read.option("basePath", str(base))
                 .parquet(path)
                 .where(F.lit(False))
+            ]
+        if m.get("schema"):
+            frames = self._reconcile_frames(
+                frames,
+                StructType.fromJson(m["schema"]),
+                m.get("column_defaults"),
             )
         return reduce(lambda a, b: a.unionByName(b), frames)

@@ -221,6 +221,22 @@ def spark_flows() -> None:
         print(
             f"manifest pruning: kept {len(kept)}/7 partitions for count>=1"
         )
+        # row-level ops + schema evolution (round 6): metadata-only
+        # ADD COLUMN with an initial default, copy-on-write DELETE that
+        # rewrites only the matching partition, MERGE upsert
+        t.add_columns({"qa": "double"}, defaults={"qa": 1.0})
+        md = t.delete_where(spark, F.col("subgrid") == "AN")
+        assert "AN" not in t.committed_partitions()
+        src = t.read(spark).where("subgrid = 'EU'").withColumn(
+            "qa", F.lit(0.25)
+        )
+        t.merge_upsert(spark, src, ["subgrid"])
+        qa = {r[0]: r[1] for r in t.read(spark).select("subgrid", "qa").collect()}
+        assert qa["EU"] == 0.25 and qa["NA"] == 1.0  # default fills pre-add rows
+        print(
+            f"row-level ops: deleted {md['deleted_rows']} AN rows, "
+            f"merged EU qa={qa['EU']}, schema={t.read(spark).columns}"
+        )
 
     spark.stop()
     print("spark flows: OK")

@@ -525,3 +525,68 @@ def test_merge_upsert_copy_on_write(spark, tmp_path):
     old = t.read(spark, snapshot_id=m0["snapshot_id"])
     assert old.count() == 30
     assert old.filter("id = 0").select("v").collect()[0][0] == 0
+
+
+def test_schema_evolution_add_drop_columns(spark, tmp_path):
+    """Metadata-only ADD/DROP COLUMN: add_columns commits a schema-only
+    snapshot (no data dir); pre-add rows read the recorded default,
+    post-add rows read real values across mixed physical schemas;
+    drop_columns projects away without rewriting; time travel serves
+    each snapshot's own schema; compact physically migrates old files
+    to the evolved schema."""
+    df = spark.createDataFrame(
+        [(f"P{i % 2}", i, i * 10) for i in range(20)],
+        "part string, id int, v int",
+    )
+    t = IcebergLiteTable(tmp_path / "tbl")
+    m0 = t.write_partitioned(df, "part", stat_cols=["v"])
+    assert [f.name for f in t.schema().fields] == ["part", "id", "v"]
+
+    # metadata-only add: no new data directory appears
+    n_dirs = len(list((tmp_path / "tbl" / "data").iterdir()))
+    m1 = t.add_columns({"score": "double"}, defaults={"score": 0.5})
+    assert m1["added"] == ["score"]
+    assert len(list((tmp_path / "tbl" / "data").iterdir())) == n_dirs
+    r = t.read(spark)
+    assert r.columns == ["part", "id", "v", "score"]
+    assert r.filter("score = 0.5").count() == 20      # default fills pre-add rows
+    assert dict(r.dtypes)["score"] == "double"
+
+    # post-add write carries real values; old dir still lacks the column
+    extra = spark.createDataFrame(
+        [("P9", 100, 0, 9.9)], "part string, id int, v int, score double"
+    )
+    t.write_partitioned(extra, "part")
+    r = t.read(spark)
+    assert r.count() == 21
+    assert r.filter("part = 'P9'").select("score").collect()[0][0] == 9.9
+    assert r.filter("part != 'P9'").filter("score = 0.5").count() == 20
+
+    # predicates over the added column work through delete/merge reads
+    md = t.delete_where(spark, "score > 9")
+    assert md["deleted_rows"] == 1 and md["dropped"] == ["P9"]
+
+    # duplicate add and partition-col drop are rejected
+    with pytest.raises(ValueError):
+        t.add_columns({"score": "double"})
+    with pytest.raises(ValueError):
+        t.drop_columns(["part"])
+
+    # drop is metadata-only; time travel shows each snapshot's schema
+    m2 = t.drop_columns(["v"])
+    assert t.read(spark).columns == ["part", "id", "score"]
+    old = t.read(spark, snapshot_id=m0["snapshot_id"])
+    assert old.columns == ["part", "id", "v"]          # pre-evolution schema
+    assert old.count() == 20
+    mid = t.read(spark, snapshot_id=m1["snapshot_id"])
+    assert mid.columns == ["part", "id", "v", "score"]
+
+    # compact physically migrates the evolved schema; reads unchanged
+    before = sorted(map(tuple, t.read(spark).collect()))
+    t.compact(spark)
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    import pyarrow.parquet as pq
+    snap = {p["snap_dir"] for p in t.current_manifest()["partitions"]}
+    f = next((tmp_path / "tbl" / "data" / snap.pop()).rglob("part-*.parquet"))
+    names = set(pq.read_schema(str(f)).names)
+    assert "score" in names and "v" not in names
