@@ -414,6 +414,11 @@ class IcebergLiteTable:
             .parquet(str(self.data_dir / snap_dir))
         )
         dt = time.time() - t0
+        # per-file records re-collect from the NEW directory's footers;
+        # sort_cols join the stat set so sorted/z-ordered files carry
+        # the tight per-file ranges that make file-grain pruning bite
+        fcols = sorted(set(self._entry_stat_cols(m["partitions"]))
+                       | set(sort_cols or []))
         parts = [
             {
                 "partition": p["partition"],
@@ -421,6 +426,9 @@ class IcebergLiteTable:
                 "seconds": round(dt, 3),
                 "written_at_unix": time.time(),
                 "snap_dir": snap_dir,
+                "files": self._file_entries(
+                    snap_dir, col, p["partition"], fcols
+                ),
                 # compaction moves bytes, never rows — min/max stats
                 # carry over with the row counts
                 **({"stats": p["stats"]} if p.get("stats") else {}),
@@ -599,19 +607,29 @@ class IcebergLiteTable:
         self, spark: SparkSession, entries: list[dict], col: str | None
     ) -> list[DataFrame]:
         """One DataFrame per referenced snapshot directory, restricted to
-        exactly the (directory, partition) pairs in `entries`."""
-        by_dir: dict[str, list[str]] = {}
+        exactly the files (or, for pre-file-manifest entries, the
+        (directory, partition) pairs) in `entries` — entries with
+        per-file records make the read fully manifest-driven: Spark is
+        handed the exact file paths, no directory listing against the
+        store, and plan_scan's file-grain pruning has already dropped
+        provably-irrelevant files."""
+        by_dir: dict[str, list[dict]] = {}
         for p in entries:
-            by_dir.setdefault(p["snap_dir"], []).append(p["partition"])
+            by_dir.setdefault(p["snap_dir"], []).append(p)
         frames = []
-        for snap_dir, parts in sorted(by_dir.items()):
+        for snap_dir, ps in sorted(by_dir.items()):
             base = self.data_dir / snap_dir
             if col is None:
                 # legacy manifests (no partition_col recorded): whole-dir
                 # union — correct for the append-only resume model
                 frames.append(spark.read.parquet(str(base)))
             else:
-                paths = [str(base / f"{col}={v}") for v in sorted(parts)]
+                paths = []
+                for p in sorted(ps, key=lambda p: p["partition"]):
+                    if p.get("files"):
+                        paths += [str(base / f["path"]) for f in p["files"]]
+                    else:
+                        paths.append(str(base / f"{col}={p['partition']}"))
                 frames.append(
                     spark.read.option("basePath", str(base)).parquet(*paths)
                 )
@@ -640,6 +658,62 @@ class IcebergLiteTable:
             cols.update((p.get("stats") or {}).keys())
         return sorted(cols)
 
+    def _file_entries(
+        self, snap_dir: str, col: str, partition: str, stat_cols: list[str]
+    ) -> list[dict]:
+        """Per-file manifest records (Iceberg's DataFile entries, in
+        miniature): path relative to the snapshot dir, row count, and
+        per-column min/max folded across the file's parquet row-group
+        footer statistics for `stat_cols`. Collected from footers after
+        the write — the single-process stand-in for Iceberg's
+        executor-side write-task file reports; footers are KB-sized
+        metadata reads. String footer stats may be writer-truncated,
+        but parquet truncation widens the range (min down, max up), so
+        pruning on them stays conservative; files whose footers lack
+        usable stats for a column are kept by the pruner."""
+        import pyarrow.parquet as pq
+
+        base = self.data_dir / snap_dir / f"{col}={partition}"
+        out = []
+        for f in sorted(base.glob("part-*")):
+            if not f.is_file():
+                continue
+            md = pq.ParquetFile(str(f)).metadata
+            idx = (
+                {
+                    md.row_group(0).column(j).path_in_schema: j
+                    for j in range(md.num_columns)
+                }
+                if md.num_row_groups
+                else {}
+            )
+            stats: dict[str, dict] = {}
+            for c in stat_cols:
+                j = idx.get(c)
+                if j is None:
+                    continue
+                mins, maxs = [], []
+                for g in range(md.num_row_groups):
+                    s = md.row_group(g).column(j).statistics
+                    if s is None or not s.has_min_max:
+                        mins = []
+                        break
+                    mins.append(s.min)
+                    maxs.append(s.max)
+                if mins:
+                    stats[c] = {
+                        "min": _json_scalar(min(mins)),
+                        "max": _json_scalar(max(maxs)),
+                    }
+            out.append(
+                {
+                    "path": str(f.relative_to(self.data_dir / snap_dir)),
+                    "rows": int(md.num_rows),
+                    **({"stats": stats} if stats else {}),
+                }
+            )
+        return out
+
     def _rewrite_entries(
         self,
         df: DataFrame,
@@ -649,8 +723,9 @@ class IcebergLiteTable:
         t0: float,
     ) -> list[dict]:
         """Write `df` partitionBy(col) into `snap_dir` and build manifest
-        entries (rows + optional min/max stats) for the partitions that
-        actually contain rows. Shared tail of the copy-on-write ops."""
+        entries (rows + optional min/max stats + per-file records) for
+        the partitions that actually contain rows. Shared tail of the
+        copy-on-write ops."""
         aggs = [F.count(F.lit(1)).alias("n")]
         for c in stat_cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
@@ -670,6 +745,7 @@ class IcebergLiteTable:
                 "seconds": round(dt, 3),
                 "written_at_unix": time.time(),
                 "snap_dir": snap_dir,
+                "files": self._file_entries(snap_dir, col, str(k), stat_cols),
                 **(
                     {
                         "stats": {
@@ -888,7 +964,32 @@ class IcebergLiteTable:
                 _range_may_match(stats.get(c), lo, hi)
                 for c, (lo, hi) in (prune or {}).items()
             )
-            (kept if keep else skipped).append(p)
+            if not keep:
+                skipped.append(p)
+                continue
+            # file-grain trim (Iceberg's data-file filtering): within a
+            # kept partition, drop files whose per-file footer stats
+            # provably miss the range — after a sort-order/z-order
+            # compact, a ranged read of a hot partition touches a few
+            # of its rolled files, not all of them. Entries are copied,
+            # never mutated; a partition whose every file is pruned
+            # skips entirely.
+            files = p.get("files")
+            if prune and files:
+                fk = [
+                    f
+                    for f in files
+                    if all(
+                        _range_may_match((f.get("stats") or {}).get(c), lo, hi)
+                        for c, (lo, hi) in prune.items()
+                    )
+                ]
+                if not fk:
+                    skipped.append(p)
+                    continue
+                if len(fk) < len(files):
+                    p = {**p, "files": fk, "files_pruned": len(files) - len(fk)}
+            kept.append(p)
         return kept, skipped
 
     def read(

@@ -96,6 +96,33 @@ def main() -> None:
         post, n2 = timed_read(spark, t)
         post2, _ = timed_read(spark, t)
         assert n1 == n2 == n_parts
+
+        # file-grain pruning A/B: sort-order compact rolls each
+        # partition into ~8 files covering disjoint v ranges, then a
+        # 1/16-partition-width range read — partition-grain pruning
+        # keeps one partition (all its files); file-grain keeps ~1 file
+        t.compact(spark, target_file_rows=max(1, chunk // 8),
+                  sort_cols=["v"])
+        sub_lo, sub_hi = 10 * chunk, 10 * chunk + chunk // 16
+        pred2 = f"v BETWEEN {sub_lo} AND {sub_hi}"
+
+        def timed_sub(prune):
+            t0 = time.time()
+            n = t.read(spark, prune=prune).where(pred2).count()
+            return time.time() - t0, n
+
+        kept_f, _ = t.plan_scan(prune={"v": (sub_lo, sub_hi)})
+        files_total = sum(
+            len(p.get("files") or [])
+            for p in t.current_manifest()["partitions"]
+        )
+        files_kept = sum(len(p.get("files") or []) for p in kept_f)
+        timed_sub(None)  # warm
+        sub_full_a, ns1 = timed_sub(None)
+        sub_full_b, _ = timed_sub(None)
+        sub_pr_a, ns2 = timed_sub({"v": (sub_lo, sub_hi)})
+        sub_pr_b, _ = timed_sub({"v": (sub_lo, sub_hi)})
+        assert ns1 == ns2 == chunk // 16 + 1
         # manifest byte cost per commit pre/post
         man_bytes = sum(
             f.stat().st_size for f in (Path(d) / "tbl" / "_manifests").glob("*.json")
@@ -114,6 +141,10 @@ def main() -> None:
             "range_read_pruned_sec": round(min(pruned_a, pruned_b), 3),
             "prune_partitions_kept": len(kept),
             "prune_partitions_skipped": len(skipped),
+            "filegrain_files_total": files_total,
+            "filegrain_files_kept": files_kept,
+            "filegrain_range_full_sec": round(min(sub_full_a, sub_full_b), 3),
+            "filegrain_range_pruned_sec": round(min(sub_pr_a, sub_pr_b), 3),
             "manifest_bytes_on_disk": man_bytes,
         }))
     spark.stop()

@@ -590,3 +590,61 @@ def test_schema_evolution_add_drop_columns(spark, tmp_path):
     f = next((tmp_path / "tbl" / "data" / snap.pop()).rglob("part-*.parquet"))
     names = set(pq.read_schema(str(f)).names)
     assert "score" in names and "v" not in names
+
+
+def test_file_grain_manifest_pruning(spark, tmp_path):
+    """Per-file manifest records: writes track exact data files (reads
+    are manifest-driven, no directory listing); after a sort-order
+    compact rolls each partition into files covering tight value
+    ranges, a ranged read prunes FILES inside kept partitions — the
+    read set shrinks below partition grain and results stay exact."""
+    df = spark.createDataFrame(
+        [(f"P{i % 2}", i, i) for i in range(2000)],
+        "part string, id int, v int",
+    )
+    t = IcebergLiteTable(tmp_path / "tbl")
+    t.write_partitioned(df, "part", stat_cols=["v"])
+    m = t.current_manifest()
+    # every entry carries file records whose rows sum to the partition's
+    for p in m["partitions"]:
+        assert p["files"] and all("path" in f for f in p["files"])
+        assert sum(f["rows"] for f in p["files"]) == p["rows"]
+        assert "v" in p["files"][0]["stats"]
+
+    # sort-order compact: ~5 files per partition, disjoint v ranges
+    t.compact(spark, target_file_rows=200, sort_cols=["v"])
+    cur = {p["partition"]: p for p in t.current_manifest()["partitions"]}
+    assert len(cur["P0"]["files"]) >= 4
+    ranges = sorted(
+        (f["stats"]["v"]["min"], f["stats"]["v"]["max"])
+        for f in cur["P0"]["files"]
+    )
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo                     # disjoint after the sort
+
+    # ranged plan: both partitions kept, but most files pruned
+    kept, skipped = t.plan_scan(prune={"v": (100, 150)})
+    assert {p["partition"] for p in kept} == {"P0", "P1"}
+    assert all(p["files_pruned"] >= 3 for p in kept)
+    assert sum(len(p["files"]) for p in kept) <= 4   # of ~10 total
+
+    got = sorted(
+        r[0]
+        for r in t.read(spark, prune={"v": (100, 150)})
+        .where("v BETWEEN 100 AND 150")
+        .select("v")
+        .collect()
+    )
+    assert got == list(range(100, 151))
+
+    # a range outside every file's stats skips the whole table
+    kept2, skipped2 = t.plan_scan(prune={"v": (10_000, None)})
+    assert kept2 == [] and len(skipped2) == 2
+    assert t.read(spark, prune={"v": (10_000, None)}).count() == 0
+
+    # delete over a pruned read still rewrites from FULL partitions
+    t.delete_where(spark, "v BETWEEN 0 AND 9", prune={"v": (0, 9)})
+    assert t.read(spark).count() == 1990
+    assert sorted(
+        r[0] for r in t.read(spark).where("v < 20").select("v").collect()
+    ) == list(range(10, 20))
