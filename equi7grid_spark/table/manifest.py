@@ -928,6 +928,109 @@ class IcebergLiteTable:
         manifest.update(stats)
         return manifest
 
+    # -- incremental consumption --------------------------------------
+    # Ops that move bytes or metadata but change NO row values: a
+    # consumer that saw the parent snapshot has nothing new to read.
+    _DATA_NEUTRAL_OPS = {"compact", "add_columns", "drop_columns"}
+
+    def changes(self, since_id: str, to_id: str | None = None) -> dict:
+        """Partition-grain change summary between two committed
+        snapshots (Iceberg's incremental scan planning): walk the
+        parent chain over (since, to], per step classify partitions
+        whose owning files changed — skipping data-neutral commits
+        (compact moves every partition to a new directory without
+        changing a row; schema commits touch nothing) — and net the
+        steps against the endpoints. Returns {"inserted": [...]
+        (absent at since, present at to), "rewritten": [...] (present
+        at both, data changed in between), "dropped": [...] (present
+        at since, absent at to)}. Pure metadata — no Spark. Raises for
+        ids off the committed chain (never committed, expired, or
+        since newer than to)."""
+        chain_ids = [s["snapshot_id"] for s in self.snapshots()]
+        if not chain_ids:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        to_id = to_id or chain_ids[0]
+        for x in (since_id, to_id):
+            if x not in chain_ids:
+                raise FileNotFoundError(
+                    f"snapshot {x!r} is not on the committed chain "
+                    "(never committed, or expired)"
+                )
+        i_to, i_since = chain_ids.index(to_id), chain_ids.index(since_id)
+        if i_to > i_since:
+            raise ValueError(f"{to_id!r} is older than {since_id!r}")
+        # manifests oldest -> newest over [since, to]
+        seq = [
+            self.manifest_by_id(x)
+            for x in reversed(chain_ids[i_to : i_since + 1])
+        ]
+        dirty: set[str] = set()
+        removed: set[str] = set()
+        neutral_skipped = 0
+        for parent, child in zip(seq, seq[1:]):
+            if (child.get("meta") or {}).get("op") in self._DATA_NEUTRAL_OPS:
+                neutral_skipped += 1
+                continue
+            pm = {p["partition"]: p["snap_dir"] for p in parent["partitions"]}
+            cm = {p["partition"]: p["snap_dir"] for p in child["partitions"]}
+            for k, sd in cm.items():
+                if pm.get(k) != sd:
+                    dirty.add(k)
+                    removed.discard(k)
+            for k in pm.keys() - cm.keys():
+                removed.add(k)
+                dirty.discard(k)
+        base = {p["partition"] for p in seq[0]["partitions"]}
+        final = {p["partition"] for p in seq[-1]["partitions"]}
+        return {
+            "since": since_id,
+            "to": to_id,
+            "inserted": sorted((dirty & final) - base),
+            "rewritten": sorted(dirty & final & base),
+            "dropped": sorted((removed & base) - final),
+            "data_neutral_commits_skipped": neutral_skipped,
+        }
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        since_id: str,
+        to_id: str | None = None,
+        *,
+        mode: str = "append",
+    ) -> DataFrame:
+        """Incremental read: the rows a consumer that last saw
+        `since_id` needs — the scale story for downstream pipelines (a
+        daily featurization pass over a 100 TB corpus reads the day's
+        partitions, not the corpus). mode="append" (Iceberg's
+        incremental append scan): returns rows of partitions INSERTED
+        over the window, raising if any partition was rewritten or
+        dropped (row-level diffs don't exist at partition grain — the
+        caller must reprocess those partitions or read at partition
+        grain); mode="changed_partitions": returns the to-snapshot
+        content of inserted + rewritten partitions (partition-grain
+        CDC upsert feed; consult changes() for drops). Rows come from
+        the `to` snapshot's entries, schema-reconciled to it."""
+        ch = self.changes(since_id, to_id)
+        if mode == "append":
+            if ch["rewritten"] or ch["dropped"]:
+                raise ValueError(
+                    "append-only incremental read impossible: partitions "
+                    f"rewritten={ch['rewritten']} dropped={ch['dropped']} "
+                    "over the window — use mode='changed_partitions' and "
+                    "changes() for drops"
+                )
+            want = set(ch["inserted"])
+        elif mode == "changed_partitions":
+            want = set(ch["inserted"]) | set(ch["rewritten"])
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        m = self.manifest_by_id(ch["to"])
+        entries = [p for p in m["partitions"] if p["partition"] in want]
+        if not entries:
+            return self.read(spark, snapshot_id=ch["to"]).where(F.lit(False))
+        return self._read_entries(spark, entries, m.get("partition_col"), m)
+
     def _data_file_count(self, snap_dirs: set[str]) -> int:
         return sum(
             1

@@ -648,3 +648,58 @@ def test_file_grain_manifest_pruning(spark, tmp_path):
     assert sorted(
         r[0] for r in t.read(spark).where("v < 20").select("v").collect()
     ) == list(range(10, 20))
+
+
+def test_incremental_changes_and_read(spark, tmp_path):
+    """Incremental consumption: changes() nets inserted/rewritten/
+    dropped partitions over a snapshot window, skipping data-neutral
+    commits (compact, schema evolution); read_changes() serves the
+    append-only feed (raising when the window holds rewrites) and the
+    partition-grain CDC feed."""
+    mk = lambda rows: spark.createDataFrame(rows, "part string, id int, v int")
+    t = IcebergLiteTable(tmp_path / "tbl")
+    m0 = t.write_partitioned(
+        mk([("P0", 0, 0), ("P0", 1, 10), ("P1", 2, 20)]), "part",
+        stat_cols=["v"],
+    )
+    # append-only window: new partition P2
+    m1 = t.write_partitioned(mk([("P2", 3, 30), ("P2", 4, 40)]), "part")
+    ch = t.changes(m0["snapshot_id"])
+    assert (ch["inserted"], ch["rewritten"], ch["dropped"]) == (["P2"], [], [])
+    inc = t.read_changes(spark, m0["snapshot_id"])
+    assert sorted(r["id"] for r in inc.collect()) == [3, 4]
+
+    # compact + schema add are data-neutral: nothing new to read
+    t.compact(spark)
+    t.add_columns({"q": "double"}, defaults={"q": 1.0})
+    ch = t.changes(m1["snapshot_id"])
+    assert ch["inserted"] == [] and ch["rewritten"] == [] and ch["dropped"] == []
+    assert ch["data_neutral_commits_skipped"] == 2
+    assert t.read_changes(spark, m1["snapshot_id"]).count() == 0
+
+    # merge rewrites P1, delete drops P0
+    t.merge_upsert(spark, spark.createDataFrame(
+        [("P1", 2, -1, 0.5)], "part string, id int, v int, q double"), ["id"])
+    t.delete_where(spark, "part = 'P0'")
+    ch = t.changes(m0["snapshot_id"])
+    assert (ch["inserted"], ch["rewritten"], ch["dropped"]) == (
+        ["P2"], ["P1"], ["P0"])
+    with pytest.raises(ValueError, match="rewritten"):
+        t.read_changes(spark, m0["snapshot_id"])
+    cdc = t.read_changes(
+        spark, m0["snapshot_id"], mode="changed_partitions"
+    )
+    got = sorted((r["part"], r["id"], r["v"]) for r in cdc.collect())
+    assert got == [("P1", 2, -1), ("P2", 3, 30), ("P2", 4, 40)]
+    # rows arrive schema-reconciled to the TO snapshot (q present)
+    assert dict(cdc.dtypes)["q"] == "double"
+
+    # bounded window [m0 -> m1]: P1's later rewrite is invisible
+    ch01 = t.changes(m0["snapshot_id"], m1["snapshot_id"])
+    assert (ch01["inserted"], ch01["rewritten"], ch01["dropped"]) == (
+        ["P2"], [], [])
+    # reversed window and unknown ids fail loudly
+    with pytest.raises(ValueError):
+        t.changes(m1["snapshot_id"], m0["snapshot_id"])
+    with pytest.raises(FileNotFoundError):
+        t.changes("deadbeef00000000")
