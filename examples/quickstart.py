@@ -224,6 +224,7 @@ def spark_flows() -> None:
         # row-level ops + schema evolution (round 6): metadata-only
         # ADD COLUMN with an initial default, copy-on-write DELETE that
         # rewrites only the matching partition, MERGE upsert
+        base_id = t.current_manifest()["snapshot_id"]
         t.add_columns({"qa": "double"}, defaults={"qa": 1.0})
         md = t.delete_where(spark, F.col("subgrid") == "AN")
         assert "AN" not in t.committed_partitions()
@@ -236,6 +237,15 @@ def spark_flows() -> None:
         print(
             f"row-level ops: deleted {md['deleted_rows']} AN rows, "
             f"merged EU qa={qa['EU']}, schema={t.read(spark).columns}"
+        )
+        # incremental consumption: what changed since the pre-ops
+        # snapshot (the schema commit is data-neutral, re-feeds nothing)
+        ch = t.changes(base_id)
+        cdc = t.read_changes(spark, base_id, mode="changed_partitions")
+        assert "AN" in ch["dropped"] and "EU" in ch["rewritten"]
+        print(
+            f"incremental: rewritten={ch['rewritten']} "
+            f"dropped={ch['dropped']} cdc_rows={cdc.count()}"
         )
 
     spark.stop()
