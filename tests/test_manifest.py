@@ -703,3 +703,42 @@ def test_incremental_changes_and_read(spark, tmp_path):
         t.changes(m1["snapshot_id"], m0["snapshot_id"])
     with pytest.raises(FileNotFoundError):
         t.changes("deadbeef00000000")
+
+
+def test_cdc_feed_folds_to_final_state(spark, tmp_path):
+    """The incremental consumer recipe: keep a mirror, and per
+    snapshot window apply read_changes(mode='changed_partitions') as
+    a partition upsert + changes()['dropped'] as partition deletes.
+    Folding the feeds across every consecutive snapshot pair of a
+    mixed append/overwrite/delete chain reproduces the final table
+    exactly — the pattern a downstream pipeline runs against the
+    streaming label sink's per-batch overwrite commits."""
+    mk = lambda rows: spark.createDataFrame(rows, "part string, id int")
+    t = IcebergLiteTable(tmp_path / "tbl")
+    t.write_partitioned(mk([("A", 1), ("B", 2)]), "part")
+    t.write_partitioned(mk([("A", 10), ("C", 3)]), "part", resume=False)
+    t.delete_where(spark, "part = 'B'")
+    t.write_partitioned(mk([("D", 4), ("A", 10)]), "part")  # resume skips A
+    ids = [s["snapshot_id"] for s in t.snapshots()][::-1]  # oldest first
+
+    mirror: dict[str, list] = {}
+    for since, to in zip(ids, ids[1:]):
+        ch = t.changes(since, to)
+        feed = t.read_changes(spark, since, to, mode="changed_partitions")
+        for part, rows in (
+            (k, [tuple(r) for r in g])
+            for k, g in __import__("itertools").groupby(
+                sorted(feed.collect(), key=lambda r: r["part"]),
+                key=lambda r: r["part"],
+            )
+        ):
+            mirror[part] = sorted(rows)
+        for part in ch["dropped"]:
+            mirror.pop(part, None)
+
+    final = {}
+    for r in t.read(spark).collect():
+        final.setdefault(r["part"], []).append(tuple(r))
+    final = {k: sorted(v) for k, v in final.items()}
+    assert mirror == final
+    assert set(mirror) == {"A", "C", "D"}
