@@ -262,6 +262,34 @@ def main() -> None:
         plan_of(pruned),
     ))
 
+    # file-grain manifest pruning: sort-order compact, then a ranged
+    # read whose scan lists exactly the matching files
+    table.compact(spark, target_file_rows=200, sort_cols=["n"])
+    m_fg = table.current_manifest()
+    all_files = [
+        f for p in m_fg["partitions"] for f in p.get("files") or []
+    ]
+    hi = max(
+        f["stats"]["n"]["max"]
+        for f in all_files
+        if (f.get("stats") or {}).get("n")
+    )
+    kept, _ = table.plan_scan(prune={"n": (hi, None)})
+    fg = table.read(spark, prune={"n": (hi, None)})
+    n_files = sum(len(p.get("files") or []) for p in kept)
+    n_files_total = len(all_files)
+    sections.append((
+        "File-grain manifest-pruned read after a sort-order compact",
+        "The manifest carries per-file footer min/max (Iceberg "
+        "DataFile records); read(prune=...) hands Spark the exact "
+        f"matching file paths ({n_files} of {n_files_total} files for "
+        "the top-count range — no directory listing, and files inside "
+        "kept partitions whose ranges provably miss are never "
+        "opened). The scan node's location list IS the pruned file "
+        "set.",
+        plan_of(fg),
+    ))
+
     OUT.parent.mkdir(exist_ok=True)
     body = ["# Physical plans (scale evidence)\n",
             "Generated by scripts/dump_plans.py; regenerate after operator changes.\n"]
