@@ -120,7 +120,10 @@ class IcebergLiteTable:
                 f"snapshot {snapshot_id!r} not found under {self.manifest_dir} "
                 "(never committed, or expired by expire_snapshots)"
             )
-        if snapshot_id not in self._chain_ids():
+        if (
+            snapshot_id not in self._chain_ids()
+            and snapshot_id not in set(self.tags().values())
+        ):
             raise FileNotFoundError(
                 f"snapshot {snapshot_id!r} exists on disk but is not on the "
                 "committed snapshot chain (orphan from a crashed commit) — "
@@ -130,6 +133,49 @@ class IcebergLiteTable:
 
     def _chain_ids(self) -> set[str]:
         return {s["snapshot_id"] for s in self.snapshots()}
+
+    # -- tags (Iceberg refs) ------------------------------------------
+    def tags(self) -> dict[str, str]:
+        """Named snapshot refs ({tag: snapshot_id}) — Iceberg's tags:
+        pin a dataset version ("training-set-v1") to a snapshot.
+        Tagged snapshots survive expire_snapshots and gc even after
+        they leave the keep_last window, and remain readable via
+        read(tag=...) / read(snapshot_id=...)."""
+        f = self.manifest_dir / "REFS.json"
+        return json.loads(f.read_text()) if f.exists() else {}
+
+    def tag(self, name: str, snapshot_id: str | None = None) -> dict:
+        """Tag a committed snapshot (CURRENT by default). The write is
+        an atomic replace of the refs file; re-tagging a name moves
+        it."""
+        if snapshot_id is None:
+            m = self.current_manifest()
+            if not m:
+                raise FileNotFoundError(
+                    f"no committed snapshots under {self.root}"
+                )
+            snapshot_id = m["snapshot_id"]
+        else:
+            self.manifest_by_id(snapshot_id)  # must be servable
+        refs = self.tags()
+        refs[name] = snapshot_id
+        tmp = self.manifest_dir / "REFS.json.tmp"
+        tmp.write_text(json.dumps(refs, indent=1))
+        tmp.replace(self.manifest_dir / "REFS.json")
+        return dict(refs)
+
+    def drop_tag(self, name: str) -> dict:
+        """Remove a tag; its snapshot becomes expirable again (the
+        next expire_snapshots/gc pass reclaims it if it is outside the
+        retention window)."""
+        refs = self.tags()
+        if name not in refs:
+            raise KeyError(f"unknown tag {name!r}")
+        del refs[name]
+        tmp = self.manifest_dir / "REFS.json.tmp"
+        tmp.write_text(json.dumps(refs, indent=1))
+        tmp.replace(self.manifest_dir / "REFS.json")
+        return dict(refs)
 
     def snapshots(self) -> list[dict]:
         """The committed snapshot chain, newest first: walk parent_id
@@ -167,7 +213,7 @@ class IcebergLiteTable:
         a within-grace orphan (possibly an in-flight commit) —
         references it, so time-travel history survives gc; bounded
         retention is expire_snapshots' job, never gc's."""
-        chain = self._chain_ids()
+        chain = self._chain_ids() | set(self.tags().values())
         cutoff = time.time() - self._GC_ORPHAN_GRACE_S
         live: set[str] = set()
         for f in self._manifest_files():
@@ -189,12 +235,14 @@ class IcebergLiteTable:
         manifests of the CURRENT chain (plus any data directory the
         kept manifests still reference), delete older manifest files
         and any snapshot directory referenced only by expired
-        manifests. Time travel to an expired id then fails loudly;
-        CURRENT and its data are never touched."""
+        manifests. Tagged snapshots (tag()) are always kept, with
+        their data, until drop_tag. Time travel to an expired id then
+        fails loudly; CURRENT and its data are never touched."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         chain = self.snapshots()
         keep_ids = {s["snapshot_id"] for s in chain[:keep_last]}
+        keep_ids |= set(self.tags().values())
         removed_manifests = []
         for f in self._manifest_files():
             m = json.loads(f.read_text())
@@ -1101,9 +1149,12 @@ class IcebergLiteTable:
         snapshot_id: str | None = None,
         *,
         prune: dict[str, tuple] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read the table as of a committed snapshot (CURRENT when
-        `snapshot_id` is None — time travel otherwise). Reads exactly
+        `snapshot_id` is None — time travel otherwise; `tag` resolves
+        a named ref from tag() and is mutually exclusive with an
+        explicit snapshot_id). Reads exactly
         the (snap_dir, partition) pairs the manifest references, so a
         partition overwritten by a later snapshot is read from the
         directory that owned it THEN, and stale copies of a partition
@@ -1117,6 +1168,13 @@ class IcebergLiteTable:
         matching rows — scan PLANNING only, and conservative: the
         caller still applies the actual row filter; pruning just keeps
         provably-irrelevant directories out of the listing."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            refs = self.tags()
+            if tag not in refs:
+                raise KeyError(f"unknown tag {tag!r}")
+            snapshot_id = refs[tag]
         m = (
             self.manifest_by_id(snapshot_id)
             if snapshot_id is not None

@@ -742,3 +742,40 @@ def test_cdc_feed_folds_to_final_state(spark, tmp_path):
     final = {k: sorted(v) for k, v in final.items()}
     assert mirror == final
     assert set(mirror) == {"A", "C", "D"}
+
+
+def test_snapshot_tags_survive_retention(spark, tmp_path):
+    """Iceberg-style tags: tag() pins a name to a snapshot; the tagged
+    snapshot (manifest + data) survives expire_snapshots and gc beyond
+    the keep_last window and stays readable via read(tag=...) /
+    read(snapshot_id=...); drop_tag makes it expirable again."""
+    mk = lambda v: spark.createDataFrame([("A", v)], "part string, v int")
+    t = IcebergLiteTable(tmp_path / "tbl")
+    t.write_partitioned(mk(1), "part")
+    t.tag("training-set-v1")           # tags CURRENT
+    v1_id = t.tags()["training-set-v1"]
+    for v in (2, 3, 4):
+        t.write_partitioned(mk(v), "part", resume=False)
+
+    t.expire_snapshots(keep_last=1)
+    # intermediates gone, the tagged snapshot + CURRENT remain
+    remaining = {f.stem.split("-", 1)[1] for f in t._manifest_files()}
+    assert v1_id in remaining and len(remaining) == 2
+    assert t.read(spark, tag="training-set-v1").collect()[0]["v"] == 1
+    assert t.read(spark, snapshot_id=v1_id).count() == 1
+    assert t.read(spark).collect()[0]["v"] == 4
+
+    with pytest.raises(KeyError):
+        t.read(spark, tag="nope")
+    with pytest.raises(ValueError):
+        t.read(spark, snapshot_id=v1_id, tag="training-set-v1")
+    # tagging an expired (unprotected) id fails loudly
+    with pytest.raises(FileNotFoundError):
+        t.tag("bad", "ffffffffffffffff")
+
+    # drop the tag: the snapshot becomes expirable and is reclaimed
+    t.drop_tag("training-set-v1")
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=v1_id)
+    assert t.read(spark).collect()[0]["v"] == 4
