@@ -123,6 +123,7 @@ class IcebergLiteTable:
         if (
             snapshot_id not in self._chain_ids()
             and snapshot_id not in set(self.tags().values())
+            and snapshot_id not in self.staged()
         ):
             raise FileNotFoundError(
                 f"snapshot {snapshot_id!r} exists on disk but is not on the "
@@ -133,6 +134,68 @@ class IcebergLiteTable:
 
     def _chain_ids(self) -> set[str]:
         return {s["snapshot_id"] for s in self.snapshots()}
+
+    # -- registries (atomically-replaced JSON side files) -------------
+    def _read_registry(self, name: str) -> dict:
+        f = self.manifest_dir / name
+        return json.loads(f.read_text()) if f.exists() else {}
+
+    def _write_registry(self, name: str, d: dict) -> None:
+        self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        tmp = self.manifest_dir / f"{name}.tmp"
+        tmp.write_text(json.dumps(d, indent=1))
+        tmp.replace(self.manifest_dir / name)
+
+    # -- write-audit-publish (Iceberg WAP) ----------------------------
+    def staged(self) -> dict[str, dict]:
+        """Staged (written-but-unpublished) snapshots:
+        {snapshot_id: {parent_id, staged_at_unix}}. Staged data is
+        invisible to read() until publish() flips CURRENT to it; an
+        audit job reads it explicitly via read(snapshot_id=...)."""
+        return self._read_registry("STAGED.json")
+
+    def publish(self, snapshot_id: str) -> dict:
+        """Publish a staged snapshot (the 'P' of write-audit-publish):
+        after the audit job has validated the staged data, flip
+        CURRENT to it. Refuses if the snapshot isn't staged, or if
+        another commit landed since it was staged (its parent_id no
+        longer equals CURRENT) — the staged manifest froze the table
+        state it merged against, so publishing over a moved CURRENT
+        would silently drop the interleaved commit; re-stage instead
+        (Iceberg resolves this with cherry-pick; staying loud is the
+        honest lite behavior)."""
+        staged = self.staged()
+        if snapshot_id not in staged:
+            raise KeyError(f"snapshot {snapshot_id!r} is not staged")
+        cur = self.current_manifest()
+        cur_id = cur["snapshot_id"] if cur else None
+        if staged[snapshot_id]["parent_id"] != cur_id:
+            raise ValueError(
+                f"staged snapshot {snapshot_id!r} was staged against "
+                f"parent {staged[snapshot_id]['parent_id']!r} but CURRENT "
+                f"is now {cur_id!r} — a commit landed in between; abort "
+                "and re-stage against the new table state"
+            )
+        tmp = self.manifest_dir / "CURRENT.tmp"
+        tmp.write_text(f"manifest-{snapshot_id}.json")
+        tmp.replace(self.manifest_dir / "CURRENT")
+        del staged[snapshot_id]
+        self._write_registry("STAGED.json", staged)
+        return self.current_manifest()
+
+    def abort_staged(self, snapshot_id: str) -> list[str]:
+        """Drop a staged snapshot that failed its audit: remove it
+        from the registry, delete its manifest, and gc the data
+        directories only it referenced. Returns the removed dirs."""
+        staged = self.staged()
+        if snapshot_id not in staged:
+            raise KeyError(f"snapshot {snapshot_id!r} is not staged")
+        del staged[snapshot_id]
+        self._write_registry("STAGED.json", staged)
+        f = self.manifest_dir / f"manifest-{snapshot_id}.json"
+        if f.exists():
+            f.unlink()
+        return self.gc_uncommitted()
 
     # -- tags (Iceberg refs) ------------------------------------------
     def tags(self) -> dict[str, str]:
@@ -213,7 +276,11 @@ class IcebergLiteTable:
         a within-grace orphan (possibly an in-flight commit) —
         references it, so time-travel history survives gc; bounded
         retention is expire_snapshots' job, never gc's."""
-        chain = self._chain_ids() | set(self.tags().values())
+        chain = (
+            self._chain_ids()
+            | set(self.tags().values())
+            | set(self.staged())
+        )
         cutoff = time.time() - self._GC_ORPHAN_GRACE_S
         live: set[str] = set()
         for f in self._manifest_files():
@@ -242,7 +309,7 @@ class IcebergLiteTable:
             raise ValueError("keep_last must be >= 1")
         chain = self.snapshots()
         keep_ids = {s["snapshot_id"] for s in chain[:keep_last]}
-        keep_ids |= set(self.tags().values())
+        keep_ids |= set(self.tags().values()) | set(self.staged())
         removed_manifests = []
         for f in self._manifest_files():
             m = json.loads(f.read_text())
@@ -265,6 +332,7 @@ class IcebergLiteTable:
         drop_partitions: set[str] | None = None,
         schema: dict | None = None,
         column_defaults: dict | None = None,
+        stage_only: bool = False,
     ) -> dict:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         prev = self.current_manifest()
@@ -292,6 +360,17 @@ class IcebergLiteTable:
         }
         name = f"manifest-{snapshot_id}.json"
         (self.manifest_dir / name).write_text(json.dumps(manifest, indent=1))
+        if stage_only:
+            # write-audit-publish: manifest on disk + staged registry,
+            # NO pointer flip — invisible to readers until publish()
+            staged = self._read_registry("STAGED.json")
+            staged[snapshot_id] = {
+                "parent_id": manifest["parent_id"],
+                "staged_at_unix": time.time(),
+            }
+            self._write_registry("STAGED.json", staged)
+            manifest["staged"] = True
+            return manifest
         # the pointer flip IS the commit (atomic rename)
         tmp = self.manifest_dir / "CURRENT.tmp"
         tmp.write_text(name)
@@ -307,11 +386,19 @@ class IcebergLiteTable:
         meta: dict | None = None,
         resume: bool = True,
         stat_cols: list[str] | None = None,
+        stage_only: bool = False,
     ) -> dict:
         """Write `df` partitioned by `partition_col` into a fresh
         snapshot directory; skip partitions the current manifest already
         committed (resume); record per-partition row counts + duration
         as lineage. Data becomes visible only at the manifest flip.
+
+        `stage_only=True` is the write step of write-audit-publish:
+        the data and manifest land but CURRENT does NOT flip — readers
+        keep seeing the old table while an audit job validates the
+        staged snapshot via read(snapshot_id=...); then publish() makes
+        it live or abort_staged() discards it. The data-quality gate
+        pattern for production table feeds.
 
         `stat_cols` opts columns into Iceberg-style manifest stats: the
         lineage agg also collects per-partition min/max for each named
@@ -334,6 +421,7 @@ class IcebergLiteTable:
         manifest = self._commit(
             parts, meta or {}, snapshot_id, partition_col,
             schema=self._merged_schema_json(df.schema),
+            stage_only=stage_only,
         )
         manifest["newly_written"] = sorted(p["partition"] for p in parts)
         manifest["skipped_resume"] = sorted(done)

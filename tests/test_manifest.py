@@ -779,3 +779,50 @@ def test_snapshot_tags_survive_retention(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t.read(spark, snapshot_id=v1_id)
     assert t.read(spark).collect()[0]["v"] == 4
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP: stage_only writes land data + manifest WITHOUT the CURRENT
+    flip — readers see the old table; the audit job reads the staged
+    snapshot explicitly; publish() flips atomically (refusing when a
+    commit landed in between); abort_staged() discards the staged
+    manifest and gc's its data."""
+    mk = lambda rows: spark.createDataFrame(rows, "part string, v int")
+    t = IcebergLiteTable(tmp_path / "tbl")
+    t.write_partitioned(mk([("A", 1)]), "part")
+
+    st = t.write_partitioned(
+        mk([("A", 2), ("B", 3)]), "part", resume=False, stage_only=True
+    )
+    assert st["staged"] is True
+    sid = st["snapshot_id"]
+    # invisible to readers; auditable explicitly
+    assert [r["v"] for r in t.read(spark).collect()] == [1]
+    audit = t.read(spark, snapshot_id=sid)
+    assert sorted(r["v"] for r in audit.collect()) == [2, 3]
+    assert sid in t.staged()
+
+    # gc must not touch staged data even though CURRENT ignores it
+    t.gc_uncommitted()
+    assert t.read(spark, snapshot_id=sid).count() == 2
+
+    # audit passed: publish flips atomically
+    t.publish(sid)
+    assert sorted(r["v"] for r in t.read(spark).collect()) == [2, 3]
+    assert t.staged() == {}
+    with pytest.raises(KeyError):
+        t.publish(sid)  # no longer staged
+
+    # stale staged snapshot: a commit lands after staging -> publish
+    # refuses, abort discards manifest + data
+    st2 = t.write_partitioned(
+        mk([("A", 9)]), "part", resume=False, stage_only=True
+    )
+    t.write_partitioned(mk([("C", 7)]), "part")        # interleaved commit
+    with pytest.raises(ValueError, match="re-stage"):
+        t.publish(st2["snapshot_id"])
+    removed = t.abort_staged(st2["snapshot_id"])
+    assert removed                                     # its dir gc'd
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=st2["snapshot_id"])
+    assert sorted(r["v"] for r in t.read(spark).collect()) == [2, 3, 7]
