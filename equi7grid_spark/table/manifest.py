@@ -572,12 +572,22 @@ class IcebergLiteTable:
             for p in m["partitions"]
         ]
         files_after = self._data_file_count({snap_dir})
+        bytes_before = sum(
+            f.get("bytes", 0)
+            for p in m["partitions"]
+            for f in p.get("files") or []
+        )
+        bytes_after = sum(
+            f.get("bytes", 0) for p in parts for f in p.get("files") or []
+        )
         stats = {
             "op": "compact",
             "dirs_before": len(dirs_before),
             "dirs_after": 1,
             "files_before": files_before,
             "files_after": files_after,
+            "bytes_before": bytes_before,
+            "bytes_after": bytes_after,
             "target_file_rows": target_file_rows,
             "sort_cols": list(sort_cols or []),
         }
@@ -845,6 +855,7 @@ class IcebergLiteTable:
                 {
                     "path": str(f.relative_to(self.data_dir / snap_dir)),
                     "rows": int(md.num_rows),
+                    "bytes": f.stat().st_size,
                     **({"stats": stats} if stats else {}),
                 }
             )
