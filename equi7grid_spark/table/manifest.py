@@ -490,6 +490,65 @@ class IcebergLiteTable:
         manifest["skipped_resume"] = skipped
         return manifest
 
+    def plan_compaction(
+        self,
+        *,
+        max_dirs: int = 4,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 4,
+    ) -> dict:
+        """Metadata-only maintenance planner (Iceberg's
+        rewrite-data-files filter): pick the partitions worth
+        rewriting instead of compacting 100 TB to fix 1% of it. Two
+        fragmentation signals from the manifest alone: (a) read
+        amplification — the read set spans many snapshot directories
+        (incremental/streaming commit residue); keep the `max_dirs-1`
+        largest-by-bytes directories and mark every partition outside
+        them (they collapse into the one new directory, bounding the
+        post-compact read set to `max_dirs`); (b) small-file
+        fragmentation — a partition holding >= `min_files` files
+        averaging under half `target_file_bytes`. Legacy entries
+        without file records are always marked (layout unknown).
+        Returns {"rewrite": [...], "kept_dirs": [...], "dirs_before":
+        n} for compact(partitions=plan["rewrite"])."""
+        m = self.current_manifest()
+        if not m or not m["partitions"]:
+            raise FileNotFoundError(f"no committed snapshots under {self.root}")
+        by_dir: dict[str, int] = {}
+        for p in m["partitions"]:
+            by_dir[p["snap_dir"]] = by_dir.get(p["snap_dir"], 0) + sum(
+                f.get("bytes", 0) for f in p.get("files") or []
+            )
+        if len(by_dir) <= max_dirs:
+            # already within the read-amplification target: the dir
+            # criterion is a fixpoint (only small-file checks apply)
+            kept_dirs = set(by_dir)
+        else:
+            kept_dirs = set(
+                sorted(by_dir, key=lambda d: (-by_dir[d], d))[
+                    : max(0, max_dirs - 1)
+                ]
+            )
+        rewrite = []
+        for p in m["partitions"]:
+            files = p.get("files")
+            if files is None:
+                rewrite.append(p["partition"])
+                continue
+            if p["snap_dir"] not in kept_dirs:
+                rewrite.append(p["partition"])
+                continue
+            n = len(files)
+            if n >= min_files:
+                avg = sum(f.get("bytes", 0) for f in files) / n
+                if avg < target_file_bytes / 2:
+                    rewrite.append(p["partition"])
+        return {
+            "rewrite": sorted(rewrite),
+            "kept_dirs": sorted(kept_dirs),
+            "dirs_before": len(by_dir),
+        }
+
     def compact(
         self,
         spark: SparkSession,
@@ -497,6 +556,7 @@ class IcebergLiteTable:
         target_file_rows: int = 5_000_000,
         meta: dict | None = None,
         sort_cols: list[str] | None = None,
+        partitions: list[str] | None = None,
     ) -> dict:
         """Bin-pack the CURRENT table state into a fresh snapshot
         (Iceberg's rewrite_data_files, in miniature). Streaming commits
@@ -525,7 +585,13 @@ class IcebergLiteTable:
         near-disjoint value ranges — the layout under which engine-side
         footer-stats pruning (and any future file-grain manifest stats)
         actually skips data. Partition-grain manifest min/max are
-        unchanged by construction (same rows per partition)."""
+        unchanged by construction (same rows per partition).
+
+        `partitions` restricts the rewrite to those partition values
+        (Iceberg's filtered rewrite_data_files; pair with
+        plan_compaction): at 100 TB a maintenance pass rewrites the
+        fragmented 1% — every other entry carries over untouched, and
+        the audit stats below cover only the rewritten subset."""
         m = self.current_manifest()
         if not m or not m["partitions"]:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
@@ -535,12 +601,22 @@ class IcebergLiteTable:
                 "compact() needs a partition_col-recorded manifest "
                 "(legacy whole-dir manifests have no partition map)"
             )
-        dirs_before = {p["snap_dir"] for p in m["partitions"]}
+        if partitions is None:
+            sel = m["partitions"]
+        else:
+            by_part = {p["partition"]: p for p in m["partitions"]}
+            unknown = [v for v in partitions if v not in by_part]
+            if unknown:
+                raise ValueError(f"unknown partitions {unknown}")
+            if not partitions:
+                return dict(m)
+            sel = [by_part[v] for v in sorted(set(partitions))]
+        dirs_before = {p["snap_dir"] for p in sel}
         files_before = self._data_file_count(dirs_before)
         snapshot_id = uuid.uuid4().hex[:16]
         snap_dir = f"snap-{snapshot_id}"
         t0 = time.time()
-        src = self.read(spark).repartition(col)
+        src = self._read_entries(spark, sel, col, m).repartition(col)
         if sort_cols:
             src = src.sortWithinPartitions(col, *sort_cols)
         (
@@ -553,7 +629,7 @@ class IcebergLiteTable:
         # per-file records re-collect from the NEW directory's footers;
         # sort_cols join the stat set so sorted/z-ordered files carry
         # the tight per-file ranges that make file-grain pruning bite
-        fcols = sorted(set(self._entry_stat_cols(m["partitions"]))
+        fcols = sorted(set(self._entry_stat_cols(sel))
                        | set(sort_cols or []))
         parts = [
             {
@@ -569,12 +645,12 @@ class IcebergLiteTable:
                 # carry over with the row counts
                 **({"stats": p["stats"]} if p.get("stats") else {}),
             }
-            for p in m["partitions"]
+            for p in sel
         ]
         files_after = self._data_file_count({snap_dir})
         bytes_before = sum(
             f.get("bytes", 0)
-            for p in m["partitions"]
+            for p in sel
             for f in p.get("files") or []
         )
         bytes_after = sum(
@@ -590,6 +666,8 @@ class IcebergLiteTable:
             "bytes_after": bytes_after,
             "target_file_rows": target_file_rows,
             "sort_cols": list(sort_cols or []),
+            "partitions_rewritten": len(sel),
+            "partitions_untouched": len(m["partitions"]) - len(sel),
         }
         manifest = self._commit(
             parts, {**(meta or {}), **stats}, snapshot_id, col,

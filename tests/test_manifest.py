@@ -826,3 +826,48 @@ def test_write_audit_publish(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t.read(spark, snapshot_id=st2["snapshot_id"])
     assert sorted(r["v"] for r in t.read(spark).collect()) == [2, 3, 7]
+
+
+def test_partial_compaction_with_planner(spark, tmp_path):
+    """Partial compaction: plan_compaction picks the fragmented
+    partitions from manifest metadata alone (read-amplification: keep
+    the largest dirs, rewrite the residue of incremental commits);
+    compact(partitions=...) rewrites ONLY those — untouched entries
+    keep their snapshot dirs, reads stay equal, the op remains
+    data-neutral for incremental consumers."""
+    df = spark.createDataFrame(
+        [(f"P{i:02d}", j, i * 100 + j) for i in range(8) for j in range(50)],
+        "part string, id int, v int",
+    )
+    t = IcebergLiteTable(tmp_path / "tbl")
+    # one snapshot dir per partition — the incremental/streaming shape
+    t.write_partitioned_incremental(df, "part", group_size=1, stat_cols=["v"])
+    m0 = t.current_manifest()
+    assert len({p["snap_dir"] for p in m0["partitions"]}) == 8
+
+    plan = t.plan_compaction(max_dirs=3)
+    assert plan["dirs_before"] == 8
+    assert len(plan["kept_dirs"]) == 2 and len(plan["rewrite"]) == 6
+
+    before = sorted(map(tuple, t.read(spark).collect()))
+    mc = t.compact(spark, partitions=plan["rewrite"])
+    assert mc["partitions_rewritten"] == 6
+    assert mc["partitions_untouched"] == 2
+    cur = {p["partition"]: p for p in t.current_manifest()["partitions"]}
+    old = {p["partition"]: p["snap_dir"] for p in m0["partitions"]}
+    kept = [v for v in cur if cur[v]["snap_dir"] == old[v]]
+    assert len(kept) == 2                       # untouched carry over
+    assert len({p["snap_dir"] for p in cur.values()}) == 3  # 2 kept + 1 new
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+
+    # data-neutral for incremental consumers; healthy table replans empty
+    ch = t.changes(m0["snapshot_id"])
+    assert ch["inserted"] == [] and ch["rewritten"] == []
+    assert t.plan_compaction(max_dirs=3)["rewrite"] == []
+
+    # unknown partition fails loudly; empty list is a no-op
+    with pytest.raises(ValueError):
+        t.compact(spark, partitions=["nope"])
+    n_snaps = len(t.snapshots())
+    t.compact(spark, partitions=[])
+    assert len(t.snapshots()) == n_snaps
