@@ -200,6 +200,11 @@ def spark_flows() -> None:
         assert len(t.snapshots()) == 2
         mc = t.compact(spark)  # bin-pack the 2-directory read set
         assert (mc["dirs_before"], mc["dirs_after"]) == (2, 1)
+        # pin the compacted state as a named, retention-proof version;
+        # the maintenance planner confirms nothing is fragmented
+        t.tag("quickstart-v1")
+        assert t.read(spark, tag="quickstart-v1").count() == 7
+        assert t.plan_compaction()["rewrite"] == []
         t.expire_snapshots(keep_last=1)
         # manifest-stat pruning (round 6): plan the scan from metadata
         # alone, then verify the pruned read equals read+filter (the
