@@ -204,8 +204,7 @@ class IcebergLiteTable:
         Tagged snapshots survive expire_snapshots and gc even after
         they leave the keep_last window, and remain readable via
         read(tag=...) / read(snapshot_id=...)."""
-        f = self.manifest_dir / "REFS.json"
-        return json.loads(f.read_text()) if f.exists() else {}
+        return self._read_registry("REFS.json")
 
     def tag(self, name: str, snapshot_id: str | None = None) -> dict:
         """Tag a committed snapshot (CURRENT by default). The write is
@@ -222,9 +221,7 @@ class IcebergLiteTable:
             self.manifest_by_id(snapshot_id)  # must be servable
         refs = self.tags()
         refs[name] = snapshot_id
-        tmp = self.manifest_dir / "REFS.json.tmp"
-        tmp.write_text(json.dumps(refs, indent=1))
-        tmp.replace(self.manifest_dir / "REFS.json")
+        self._write_registry("REFS.json", refs)
         return dict(refs)
 
     def drop_tag(self, name: str) -> dict:
@@ -235,9 +232,7 @@ class IcebergLiteTable:
         if name not in refs:
             raise KeyError(f"unknown tag {name!r}")
         del refs[name]
-        tmp = self.manifest_dir / "REFS.json.tmp"
-        tmp.write_text(json.dumps(refs, indent=1))
-        tmp.replace(self.manifest_dir / "REFS.json")
+        self._write_registry("REFS.json", refs)
         return dict(refs)
 
     def snapshots(self) -> list[dict]:
