@@ -217,8 +217,17 @@ class IcebergLiteTable:
                     f"no committed snapshots under {self.root}"
                 )
             snapshot_id = m["snapshot_id"]
-        else:
-            self.manifest_by_id(snapshot_id)  # must be servable
+        elif (
+            snapshot_id not in self._chain_ids()
+            and snapshot_id not in set(self.tags().values())
+        ):
+            # COMMITTED snapshots only — a staged id is servable for
+            # audits but not taggable (abort_staged would leave the
+            # tag dangling and permanently pin gc/expire keep-sets)
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id!r} is not on the committed chain "
+                "(staged, never committed, or expired)"
+            )
         refs = self.tags()
         refs[name] = snapshot_id
         self._write_registry("REFS.json", refs)
@@ -270,7 +279,14 @@ class IcebergLiteTable:
         it is garbage). A directory is live if any CHAIN manifest — or
         a within-grace orphan (possibly an in-flight commit) —
         references it, so time-travel history survives gc; bounded
-        retention is expire_snapshots' job, never gc's."""
+        retention is expire_snapshots' job, never gc's.
+
+        Concurrency contract: the table is SINGLE-WRITER. gc deletes
+        unreferenced snapshot dirs immediately (a resumed write cleans
+        its own crash debris), so a second concurrent writer's
+        data-write phase — dirs that exist before their manifest does
+        — is not protected; coordinate writers externally (real
+        Iceberg arbitrates this with optimistic catalog commits)."""
         chain = (
             self._chain_ids()
             | set(self.tags().values())
@@ -299,18 +315,28 @@ class IcebergLiteTable:
         and any snapshot directory referenced only by expired
         manifests. Tagged snapshots (tag()) are always kept, with
         their data, until drop_tag. Time travel to an expired id then
-        fails loudly; CURRENT and its data are never touched."""
+        fails loudly; CURRENT and its data are never touched. Off-chain
+        manifests younger than the orphan grace are left alone: they
+        may be another process's commit in the window between its
+        manifest write and its CURRENT flip (aged-out orphans delete
+        here like in gc)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         chain = self.snapshots()
+        chain_ids = {s["snapshot_id"] for s in chain}
         keep_ids = {s["snapshot_id"] for s in chain[:keep_last]}
         keep_ids |= set(self.tags().values()) | set(self.staged())
+        cutoff = time.time() - self._GC_ORPHAN_GRACE_S
         removed_manifests = []
         for f in self._manifest_files():
             m = json.loads(f.read_text())
-            if m["snapshot_id"] not in keep_ids:
-                f.unlink()
-                removed_manifests.append(m["snapshot_id"])
+            sid = m["snapshot_id"]
+            if sid in keep_ids:
+                continue
+            if sid not in chain_ids and f.stat().st_mtime >= cutoff:
+                continue  # possibly an in-flight commit — leave for gc
+            f.unlink()
+            removed_manifests.append(sid)
         removed_dirs = self.gc_uncommitted()
         return {
             "removed_manifests": sorted(removed_manifests),
@@ -400,7 +426,12 @@ class IcebergLiteTable:
         column, stored on the partition entry — `read(prune=...)` then
         skips (directory, partition) pairs whose range cannot match, at
         manifest-planning time, before any file listing. The extra agg
-        columns ride the SAME groupBy job the row counts already pay."""
+        columns ride the SAME groupBy job the row counts already pay.
+
+        `skipped_resume` lists EVERY previously-committed partition
+        (the filter applied to the input), not input∩committed —
+        write_partitioned_incremental, which enumerates its input's
+        partition values anyway, reports the intersection."""
         if resume:
             self.gc_uncommitted()
         done = self.committed_partitions() if resume else set()
@@ -607,7 +638,13 @@ class IcebergLiteTable:
                 return dict(m)
             sel = [by_part[v] for v in sorted(set(partitions))]
         dirs_before = {p["snap_dir"] for p in sel}
-        files_before = self._data_file_count(dirs_before)
+        # audit covers exactly the rewritten subset: count files from
+        # the selected entries (a shared dir's untouched partitions and
+        # stale superseded copies would inflate an rglob count); legacy
+        # entries without file records fall back to the dir walk
+        files_before = sum(
+            len(p.get("files") or []) for p in sel
+        ) or self._data_file_count(dirs_before)
         snapshot_id = uuid.uuid4().hex[:16]
         snap_dir = f"snap-{snapshot_id}"
         t0 = time.time()
@@ -950,6 +987,14 @@ class IcebergLiteTable:
         for c in stat_cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
         lineage = {r[0]: r for r in df.groupBy(col).agg(*aggs).collect()}
+        if any(k is None for k in lineage):
+            # caught BEFORE the write: NULL partition rows would land
+            # in __HIVE_DEFAULT_PARTITION__, which no manifest path
+            # matches, and silently vanish from reads
+            raise ValueError(
+                f"NULL values in partition column {col!r} are unsupported "
+                "— filter or fill them before writing"
+            )
         if lineage:
             (
                 df.repartition(col)
@@ -958,7 +1003,7 @@ class IcebergLiteTable:
                 .parquet(str(self.data_dir / snap_dir))
             )
         dt = time.time() - t0
-        return [
+        entries = [
             {
                 "partition": str(k),
                 "rows": int(r["n"]),
@@ -982,6 +1027,24 @@ class IcebergLiteTable:
             }
             for k, r in sorted(lineage.items())
         ]
+        unwritable = [
+            p["partition"]
+            for p in entries
+            if p["rows"] > 0 and not p["files"]
+        ]
+        if unwritable:
+            # Spark hive-escapes some characters in partition paths
+            # (':' -> %3A, '%' -> %25, ...); the manifest stores raw
+            # values, so an escaped directory would commit entries no
+            # read path matches. Fail loudly pre-commit (the orphan
+            # snapshot dir is invisible and gc'd) instead of
+            # committing a table whose reads break.
+            raise ValueError(
+                f"partition values {unwritable!r} contain characters "
+                "Spark escapes in hive paths — unsupported; sanitize "
+                "the partition column before writing"
+            )
+        return entries
 
     def delete_where(
         self,
@@ -1016,6 +1079,12 @@ class IcebergLiteTable:
         fields; commits NOTHING (and returns the current manifest) when
         no row matches."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        # SQL DELETE semantics: a row is deleted only when the
+        # condition is TRUE — rows where it evaluates to NULL must
+        # SURVIVE the rewrite (filter(~cond) alone would drop them
+        # uncounted, making the outcome depend on which rows happen to
+        # share a partition with a real match)
+        match = F.coalesce(cond.cast("boolean"), F.lit(False))
         m = self.current_manifest()
         if not m or not m["partitions"]:
             raise FileNotFoundError(f"no committed snapshots under {self.root}")
@@ -1029,7 +1098,7 @@ class IcebergLiteTable:
             r[0]: int(r[1])
             for r in (
                 self._read_entries(spark, kept, col, m)
-                .filter(cond)
+                .filter(match)
                 .groupBy(col)
                 .agg(F.count(F.lit(1)))
                 .collect()
@@ -1054,7 +1123,9 @@ class IcebergLiteTable:
         snapshot_id = uuid.uuid4().hex[:16]
         t0 = time.time()
         aff_entries = [by_part[v] for v in affected]
-        remainder = self._read_entries(spark, aff_entries, col, m).filter(~cond)
+        remainder = self._read_entries(spark, aff_entries, col, m).filter(
+            ~match
+        )
         parts = self._rewrite_entries(
             remainder,
             col,
@@ -1179,9 +1250,15 @@ class IcebergLiteTable:
         i_to, i_since = chain_ids.index(to_id), chain_ids.index(since_id)
         if i_to > i_since:
             raise ValueError(f"{to_id!r} is older than {since_id!r}")
-        # manifests oldest -> newest over [since, to]
+        # manifests oldest -> newest over [since, to] — ids were just
+        # validated against the walked chain, so read the files
+        # directly (manifest_by_id would re-walk the whole chain per
+        # element: O(n^2) file reads over exactly the long streaming
+        # commit chains this API targets)
         seq = [
-            self.manifest_by_id(x)
+            json.loads(
+                (self.manifest_dir / f"manifest-{x}.json").read_text()
+            )
             for x in reversed(chain_ids[i_to : i_since + 1])
         ]
         dirty: set[str] = set()

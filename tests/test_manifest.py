@@ -871,3 +871,45 @@ def test_partial_compaction_with_planner(spark, tmp_path):
     n_snaps = len(t.snapshots())
     t.compact(spark, partitions=[])
     assert len(t.snapshots()) == n_snaps
+
+
+def test_delete_where_null_semantics_and_write_validation(spark, tmp_path):
+    """Hardening from review: (a) SQL DELETE semantics — rows whose
+    condition evaluates to NULL survive the rewrite and are never
+    counted; (b) NULL partition values fail loudly BEFORE any data
+    lands; (c) partition values Spark hive-escapes (':', '%') fail
+    loudly instead of committing entries no read path matches;
+    (d) staged ids cannot be tagged (a later abort would leave the
+    tag dangling and pin retention forever)."""
+    t = IcebergLiteTable(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("A", 1, 10), ("A", 2, None), ("B", 3, None)],
+        "part string, id int, x int",
+    )
+    t.write_partitioned(df, "part")
+
+    # x > 5 is TRUE for id=1, NULL for id=2 (same partition) and id=3
+    md = t.delete_where(spark, "x > 5")
+    assert md["deleted_rows"] == 1 and md["rewritten"] == ["A"]
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [2, 3]            # NULL-condition rows survive
+
+    with pytest.raises(ValueError, match="NULL values in partition"):
+        t.write_partitioned(
+            spark.createDataFrame([(None, 9, 9)], "part string, id int, x int"),
+            "part", resume=False,
+        )
+    with pytest.raises(ValueError, match="escapes"):
+        t.write_partitioned(
+            spark.createDataFrame([("10:00", 9, 9)], "part string, id int, x int"),
+            "part", resume=False,
+        )
+    # failed writes committed nothing
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [2, 3]
+
+    st = t.write_partitioned(
+        spark.createDataFrame([("C", 4, 4)], "part string, id int, x int"),
+        "part", stage_only=True,
+    )
+    with pytest.raises(FileNotFoundError, match="staged"):
+        t.tag("bad", st["snapshot_id"])
