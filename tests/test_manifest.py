@@ -913,3 +913,46 @@ def test_delete_where_null_semantics_and_write_validation(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="staged"):
         t.tag("bad", st["snapshot_id"])
+
+
+def test_expire_respects_inflight_commit_grace(spark, tmp_path):
+    """expire_snapshots must not destroy another process's commit in
+    the window between its manifest write and its CURRENT flip: a
+    young off-chain manifest survives expiry (and keeps pinning its
+    data); once aged past the grace it expires like any orphan."""
+    import json
+    import os
+    import time
+
+    df = spark.createDataFrame([("EU", 1)], "subgrid string, v int")
+    t = IcebergLiteTable(tmp_path / "tbl")
+    t.write_partitioned(df, "subgrid")
+    t.write_partitioned(df, "subgrid", resume=False)
+
+    inflight_dir = t.data_dir / "snap-inflight1"
+    df.write.partitionBy("subgrid").parquet(str(inflight_dir))
+    inflight = t.manifest_dir / "manifest-inflight1.json"
+    inflight.write_text(json.dumps({
+        "snapshot_id": "inflight1",
+        "parent_id": t.current_manifest()["snapshot_id"],
+        "committed_at_unix": time.time(),
+        "meta": {},
+        "partition_col": "subgrid",
+        "partitions": [
+            {"partition": "EU", "snap_dir": "snap-inflight1", "rows": 1},
+        ],
+        "total_rows": 1,
+    }))
+
+    out = t.expire_snapshots(keep_last=1)
+    # the superseded CHAIN snapshot expired; the in-flight one did not
+    assert "inflight1" not in out["removed_manifests"]
+    assert len(out["removed_manifests"]) == 1
+    assert inflight.exists() and inflight_dir.exists()
+
+    # aged out -> expire treats it as a dead orphan
+    old = time.time() - IcebergLiteTable._GC_ORPHAN_GRACE_S - 60
+    os.utime(inflight, (old, old))
+    out = t.expire_snapshots(keep_last=1)
+    assert "inflight1" in out["removed_manifests"]
+    assert not inflight.exists() and not inflight_dir.exists()
