@@ -58,27 +58,48 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_wide(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    """(doc_id, m0..m{n-1}): MinHash signature in ONE aggregation pass.
+    """(doc_id, m0..m{n-1}): MinHash signature with NO shuffle at all.
 
     Each shingle is md5'd ONCE; permutation p's hash is hex segment
     [4p, 4p+4) of that digest (md5 bits are independent, so disjoint
     segments are independent 16-bit uniform hashes). min over shingles
-    of segment p is then a valid MinHash. vs the naive per-(perm,
-    shingle) re-hash this cuts the md5 count and the pre-aggregation
-    row volume n_perms-fold — at 10^12 docs the shingle explosion is
-    the dominant cost, so the single-pass groupBy with n_perms min()
-    aggregates (map-side partial) is the scale shape."""
-    sh = doc_shingles(docs)
-    h = F.md5(F.col("shingle").cast("binary"))
-    proj = sh.select(
+    of segment p is then a valid MinHash.
+
+    All of a doc's shingles live in ONE array cell, so the per-perm
+    minima are per-row array reductions (array_min over a substring
+    transform), not a grouped aggregation: the former explode → 8×
+    substring → groupBy(doc_id) shape materialized the full shingle
+    explosion (~100x the docs) through codegen and paid a hash-agg +
+    exchange to reassemble rows that were never apart (guide §2.4 —
+    remove shuffles outright). A/B at sf1 (50k docs, ~4.9M shingles):
+    2.32s → 1.67s noop-sink, identical values. Fixed-length lowercase
+    hex compares lexicographically == numerically, so the string min
+    is the numeric min. The md5 array is materialized ONCE behind an
+    explode(array(...)) Generate barrier — the 8 array_min consumers
+    run interpreted (HOFs are CodegenFallback) and interpreted eval
+    has no CSE, so an inlined expression would re-hash every shingle
+    8x (same trap as simhash_from_hexes). Docs with no shingles
+    (size < n) drop out via the size filter, matching the explode
+    semantics of the former shape and the DuckDB oracle."""
+    hx = spread_small_input(docs).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.transform(
+                    shingles(F.col("text")),
+                    lambda s: F.md5(s.cast("binary")),
+                )
+            )
+        ).alias("__hx"),
+    ).filter(F.size("__hx") > 0)
+    return hx.select(
         "doc_id",
         *[
-            F.substring(h, 4 * p + 1, 4).alias(f"_h{p}")
+            F.array_min(
+                F.transform(F.col("__hx"), lambda h: F.substring(h, 4 * p + 1, 4))
+            ).alias(f"m{p}")
             for p in range(n_perms)
         ],
-    )
-    return proj.groupBy("doc_id").agg(
-        *[F.min(f"_h{p}").alias(f"m{p}") for p in range(n_perms)]
     )
 
 
@@ -225,29 +246,39 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = p.unionAll(
         p.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
-    labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lab"))
-        .localCheckpoint()
-    )
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
+    labels = None
     changed = -1
     # max_iter propagation rounds + 1 confirming zero-change round, so
     # a component whose diameter equals max_iter still converges
     for _ in range(max_iter + 1):
-        nmin = (
-            edges.join(labels.withColumnRenamed("id", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("lab").alias("nlab"))
-            .withColumnRenamed("a", "id")
-        )
-        hooked = labels.join(nmin, "id", "left").select(
-            "id",
-            F.col("lab").alias("old_lab"),
-            F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
-        )
+        if labels is None:
+            # round 1 fused: the seed labels are the identity (lab =
+            # id) over the distinct edge endpoints, so the first hook
+            # is simply min(id, min neighbor) — one groupBy over the
+            # cached edges replaces the former separate seed frame
+            # (its eager checkpoint job AND its double evaluation as
+            # both join inputs of the round; the symmetric union
+            # guarantees every node appears as `a`, so coverage is
+            # identical to distinct-endpoints + left join)
+            hooked = edges.groupBy("a").agg(F.min("b").alias("nlab")).select(
+                F.col("a").alias("id"),
+                F.col("a").alias("old_lab"),
+                F.least(F.col("a"), F.col("nlab")).alias("lab"),
+            )
+        else:
+            nmin = (
+                edges.join(labels.withColumnRenamed("id", "b"), "b")
+                .groupBy("a")
+                .agg(F.min("lab").alias("nlab"))
+                .withColumnRenamed("a", "id")
+            )
+            hooked = labels.join(nmin, "id", "left").select(
+                "id",
+                F.col("lab").alias("old_lab"),
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
         # pointer jump: lab(v) ← lab(lab(v)). lab(v) is always a node
         # id present in the label frame (labels start as own ids and
         # move only to other nodes' labels), so the left join hits for
@@ -257,11 +288,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             F.col("id").alias("p_id"), F.col("lab").alias("p_lab")
         )
         # old_lab rides along so the convergence check is a plain agg
-        # over this frame — no extra labels-vs-new_labels join job
+        # over this frame — no extra labels-vs-new_labels join job.
+        # LAZY checkpoint + count: the count action populates the
+        # checkpoint while computing `changed`, ONE job per round where
+        # the former eager-checkpoint-then-count shape ran two (the
+        # single count action can't race the population the way a
+        # twice-scanned lazy cache does — r5 lesson applies to frames
+        # two sibling branches read within one job, not to this).
         stepped = (
             hooked.join(parents, hooked.lab == parents.p_id, "left")
             .select("id", "old_lab", F.coalesce("p_lab", "lab").alias("lab"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("lab") != F.col("old_lab")).count()
         labels = stepped.select("id", "lab")
@@ -440,6 +477,7 @@ def phash_near_dup(
     max_hamming: int = 3,
     n_bands: int = 4,
     chunk_size: int = 2048,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """EXACT near-duplicate image pairs by perceptual-hash hamming
     distance: (id_a, id_b, hamming) with id_a < id_b and
@@ -483,7 +521,7 @@ def phash_near_dup(
     e = _phash_bands(imgs, id_col, phash_col, n_bands)
     cand = _chunked_pair_join(e, ["band_idx", "band_val"], ["ph"], chunk_size)
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
+    out = (
         # hamming-verify BEFORE the dedup shuffle: most band collisions
         # are random 16-bit matches far above the threshold, so the
         # distinct only shuffles true pairs (a pair agreeing on several
@@ -492,8 +530,13 @@ def phash_near_dup(
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
+    # dedup_pairs=False skips the exchange+aggregate when the consumer
+    # is duplicate-tolerant (connected components: a pair re-found on a
+    # second band is the same edge and min-label propagation is
+    # idempotent over it) — one fewer shuffle stage inside the eager
+    # pair-list checkpoint of phash_dup_clusters (guide §2.4)
+    return out.distinct() if dedup_pairs else out
 
 
 def phash_dup_clusters(
@@ -550,13 +593,20 @@ def phash_dup_clusters(
         F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("n_members")
     ).localCheckpoint()
     reps = groups.select(F.col("rep_id").alias("rid"), "ph")
+    # dedup_pairs=False: CC is duplicate-edge-tolerant, so the pair
+    # list skips its distinct shuffle (the pairs are checkpointed
+    # inside connected_components anyway)
     rep_pairs = phash_near_dup(
-        reps, "rid", "ph", max_hamming, chunk_size=chunk_size
+        reps, "rid", "ph", max_hamming, chunk_size=chunk_size,
+        dedup_pairs=False,
     ).select("id_a", "id_b")
     labels = connected_components(rep_pairs, max_iter).withColumnRenamed(
         "id", "rep_id"
     )
-    joined = m.join(groups, "ph").join(labels, "rep_id", "left")
+    # labels is rep-graph-sized (orders of magnitude under the corpus):
+    # broadcast it so the member re-attach never shuffles `m` by rep_id
+    # (plan: SortMergeJoin + 2 Exchanges → BroadcastHashJoin; guide §3.1)
+    joined = m.join(groups, "ph").join(F.broadcast(labels), "rep_id", "left")
     return joined.filter(
         (F.col("n_members") >= 2) | F.col("lab").isNotNull()
     ).select(

@@ -2339,7 +2339,8 @@ _N_IMG_ORACLE = 20000
 
 
 def _host_cached_fixture(
-    spark: SparkSession, name: str, df: DataFrame, params: str = ""
+    spark: SparkSession, name: str, df: DataFrame, params: str = "",
+    files: int = 8,
 ) -> DataFrame:
     """Materialize a deterministic fixture DataFrame to a host-local
     parquet once and scan it. Completeness is judged by _SUCCESS (a
@@ -2352,16 +2353,27 @@ def _host_cached_fixture(
     not collide on permissions) and an md5 tag of `params` — callers
     pass the synthesis parameters/version string, so editing the
     variant-synthesis logic invalidates the cache instead of silently
-    reusing stale fixture rows (ADVICE r4)."""
+    reusing stale fixture rows (ADVICE r4).
+
+    `files` bounds the fixture's file count (guide §6 small-files):
+    the synthesis session's 32+ tasks otherwise emit ~64 KB-sized
+    parquet files, and every downstream scan pays ~64 footer/open
+    round-trips — measured 0.85s → 0.26s for a trivial groupBy over
+    the 24k-row phash fixture when rewritten 64 → 8 files. The dedup
+    consumers scan these fixtures 2-5x per query, so the open cost
+    dominated. Parallelism is unaffected where it matters: every
+    consumer shuffles within its first operator or two, and callers
+    with expensive pre-shuffle per-row work (the decode pipeline)
+    pass a larger `files`."""
     import hashlib
     import os
     import shutil
 
-    tag = hashlib.md5(params.encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{params};files={files}".encode()).hexdigest()[:10]
     src = f"/tmp/equi7_fixture_{os.getuid()}_{name}_{tag}.parquet"
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         tmp = f"{src}.tmp{os.getpid()}"
-        df.write.mode("overwrite").parquet(tmp)
+        df.coalesce(files).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(src, ignore_errors=True)  # crashed half-write, if any
         try:
             os.rename(tmp, src)
@@ -3119,6 +3131,10 @@ def q_image_phash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pipeline_imgs_3000",
         synthetic_images(spark, 3000, with_bytes=True),
         params="synthetic_images(3000, with_bytes=True, seed=42)",
+        # larger file count than the metadata fixtures: the consumer's
+        # first operator is the mapInPandas decode, whose parallelism
+        # is the scan split count (files pack ~4 per 16 MB split)
+        files=32,
     )
     tenth = imgs.filter(
         F.substring("image_id", 4, 12).cast("long") % 10 == 0
