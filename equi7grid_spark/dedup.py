@@ -445,9 +445,20 @@ def _chunked_pair_join(
         raise ValueError("chunk_size must be >= 1")
     from pyspark.sql import Window
 
-    bucket = Window.partitionBy(*key_cols)
-    rn = F.row_number().over(bucket.orderBy("id"))
-    m = F.count(F.lit(1)).over(bucket)
+    # Round 7 plan shape: the bucket size rides the SAME ordered window
+    # spec as row_number (explicit unbounded frame), so both functions
+    # evaluate in ONE WindowExec pass instead of two stacked Window
+    # operators (each buffers the partition once). An eager
+    # localCheckpoint of the annotated frame was A/B'd against letting
+    # the join's two sides re-evaluate the upstream (interleaved 5x
+    # rounds, sf1): within noise everywhere — the upstream re-eval is
+    # pipelined scan work while the checkpoint adds a job + disk pass —
+    # so the simpler recompute shape stays.
+    bucket = Window.partitionBy(*key_cols).orderBy("id")
+    rn = F.row_number().over(bucket)
+    m = F.count(F.lit(1)).over(
+        bucket.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     e = e.select(
         "id", *payload_cols, *key_cols,
         F.floor((rn - 1) / chunk_size).alias("_c"),
@@ -709,12 +720,69 @@ def _emb_buckets_udf(col: Column, n_bands: int, n_planes: int) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential HOF dot product — off the hot path (candidate pairs
-    only); summation order matches DuckDB's list_dot_product for the
-    round-9 cosine parity."""
+    """Sequential HOF dot product — summation order matches DuckDB's
+    list_dot_product for the round-9 cosine parity. Kept as the
+    single-Column reference implementation; hot verify paths use
+    cosine_seq (the vectorized twin with the SAME accumulation
+    order)."""
     return F.aggregate(
         F.zip_with(a, b, lambda p, s: p * s), F.lit(0.0), lambda acc, v: acc + v
     )
+
+
+_COS_SEQ_UDF = None
+
+
+def cosine_seq(va: Column, vb: Column) -> Column:
+    """Vectorized cosine similarity, BIT-IDENTICAL to the interpreted
+    HOF chain try_divide(_dot(a,b), sqrt(_dot(a,a)) * sqrt(_dot(b,b))):
+    the accumulators advance LEFT-TO-RIGHT over the dimension axis
+    (acc = acc + a_d*b_d, one IEEE add per dim in the same order the
+    sequential aggregate performs), so every partial sum — and hence
+    the division result down to the last ulp — matches the HOF and
+    DuckDB's list_dot_product. The HOF runs interpreted
+    (CodegenFallback) per row; this runs 3 numpy axis loops per Arrow
+    batch (guide §4.2) — A/B'd ~4x faster on the multimodal embed
+    verify's ~340k candidate pairs. NULL on null inputs or a zero
+    denominator (try_divide semantics); NaN propagates as NaN."""
+    global _COS_SEQ_UDF
+    if _COS_SEQ_UDF is None:
+        import numpy as np
+        import pandas as pd
+
+        @F.pandas_udf("double")
+        def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+            if not len(a):
+                return pd.Series([], dtype="float64")
+            mask = (a.notna() & b.notna()).to_numpy()
+            out = np.zeros(len(a))
+            good = np.zeros(len(a), dtype=bool)
+            if mask.any():
+                A = np.array(a[mask].tolist(), dtype=np.float64)
+                B = np.array(b[mask].tolist(), dtype=np.float64)
+                n = len(A)
+                ab = np.zeros(n)
+                aa = np.zeros(n)
+                bb = np.zeros(n)
+                for d in range(A.shape[1]):
+                    ad = A[:, d]
+                    bd = B[:, d]
+                    ab += ad * bd
+                    aa += ad * ad
+                    bb += bd * bd
+                den = np.sqrt(aa) * np.sqrt(bb)
+                ok = den != 0.0
+                vals = np.zeros(n)
+                np.divide(ab, den, out=vals, where=ok)
+                idx = np.flatnonzero(mask)
+                out[idx] = vals
+                good[idx] = ok
+            arr = pd.array(out, dtype="Float64")
+            arr[~good] = pd.NA
+            return pd.Series(arr)
+
+        _COS_SEQ_UDF = cos
+    return _COS_SEQ_UDF(va, vb)
 
 
 def embedding_near_dup_pairs(
@@ -759,17 +827,14 @@ def embedding_near_dup_pairs(
     ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     j = cand.join(ea, "id_a").join(eb, "id_b")
-    va, vb = F.col("va"), F.col("vb")
-    cos = F.try_divide(
-        _dot(va, vb), F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb))
-    )
+    # vectorized sequential-order cosine (bit-identical to the HOF
+    # chain — see cosine_seq); the Generate barrier keeps the >=
+    # threshold filter from duplicating the evaluation (guide §4.4 —
+    # PushDownPredicate would substitute the aliased expression into
+    # the filter/join condition; measured 6.1s -> sub-second on the
+    # fixture back when this was the interpreted HOF).
+    cos = cosine_seq(F.col("va"), F.col("vb"))
     return (
-        # Generate barrier (explode(array(...))): without it,
-        # PushDownPredicate substitutes the aliased cosine HOF into the
-        # >= threshold filter and Catalyst inlines it into the JOIN
-        # CONDITION — the interpreted 3x-dot chain then evaluates for
-        # every candidate row inside the join, twice (condition +
-        # output). Measured 6.1s -> sub-second on the fixture.
         j.withColumn("_cos", F.explode(F.array(cos)))
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 9).alias("cosine"))
@@ -908,18 +973,22 @@ def multimodal_near_dup(
     j = flags.filter(F.col("_embcand")).select("id_a", "id_b").join(
         ea, "id_a"
     ).join(eb, "id_b")
-    va, vb = F.col("va"), F.col("vb")
-    cos = F.try_divide(
-        _dot(va, vb), F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb))
-    )
+    # vectorized sequential-order cosine (bit-identical to the HOF
+    # chain — cosine_seq); Generate barrier as in
+    # embedding_near_dup_pairs keeps the threshold filter from
+    # duplicating the evaluation (guide §4.4)
+    cos = cosine_seq(F.col("va"), F.col("vb"))
     emb = (
-        # Generate barrier — see embedding_near_dup_pairs: keeps the
-        # cosine HOF out of the join condition (one eval per candidate)
         j.withColumn("_cos", F.explode(F.array(cos)))
         .filter(F.col("_cos") >= cos_threshold)
         .select("id_a", "id_b", F.round("_cos", 9).alias("cosine"))
     )
-    merged = flags.join(emb, ["id_a", "id_b"], "left").filter(
+    # emb is true-cosine-pair-sized (orders of magnitude under the
+    # candidate flags): broadcast it so the final provenance merge is a
+    # BroadcastHashJoin instead of a SortMergeJoin that exchanges+sorts
+    # the full candidate-pair frame twice (guide §3.1; same pattern as
+    # the phash_dup_clusters label re-attach)
+    merged = flags.join(F.broadcast(emb), ["id_a", "id_b"], "left").filter(
         F.col("hamming").isNotNull() | F.col("_cap") | F.col("cosine").isNotNull()
     )
     signal = F.concat_ws(

@@ -80,6 +80,11 @@ def kernel_available(spark: SparkSession) -> bool:
             spark.udf.registerJavaFunction(
                 "equi7_lonlat", "equi7.VincentyLonLat", T.ArrayType(T.DoubleType())
             )
+            spark.udf.registerJavaFunction(
+                "equi7_roundtrip_zone_tile_key",
+                "equi7.RoundtripZoneTileKey",
+                T.LongType(),
+            )
             # Probe through the SAME column-typed wrappers the queries
             # use, with the adversarial dtypes a plain (non-Arrow)
             # session produces (bigint zc, bigint lon/lat) — a literal
@@ -125,6 +130,20 @@ def tile_key_col(zc: Column, lon: Column, lat: Column, tile_size: float) -> Colu
 def zone_tile_key_col(lon: Column, lat: Column, tile_size: float) -> Column:
     return F.call_udf(
         "equi7_zone_tile_key",
+        lon.cast("double"),
+        lat.cast("double"),
+        F.lit(float(tile_size)),
+    )
+
+
+def roundtrip_zone_tile_key_col(
+    lon: Column, lat: Column, tile_size: float
+) -> Column:
+    """Packed zone+tile key of forward(inverse(forward(lon, lat))) —
+    the fused roundtrip-closure kernel (same Vincenty calls as
+    xy_col → lonlat_col → xy_col, one UDF invocation per row)."""
+    return F.call_udf(
+        "equi7_roundtrip_zone_tile_key",
         lon.cast("double"),
         lat.cast("double"),
         F.lit(float(tile_size)),

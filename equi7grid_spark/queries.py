@@ -761,6 +761,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hof_dot(a, b):
+    """Sequential HOF dot product — the single-Column reference twin of
+    the vectorized dedup.cosine_seq (same left-to-right summation
+    order as DuckDB's list_dot_product). The query paths use
+    cosine_seq; this stays as the documented scalar form."""
     return F.aggregate(
         F.zip_with(a, b, lambda p, s: p * s), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -806,10 +810,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the 10-row query side as the broadcast build: the BNLJ choice
     # must not hinge on size estimation of a filtered scan at scale
     j = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
-    qv, cv = F.col("qv"), F.col("cv")
-    cosine = F.try_divide(
-        _hof_dot(qv, cv), F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
-    )
+    from equi7grid_spark.dedup import cosine_seq
+
+    # vectorized sequential-order cosine (bit-identical to the former
+    # interpreted HOF chain — dedup.cosine_seq): identical doubles,
+    # hence identical rank order/ties
+    cosine = cosine_seq(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
         j.withColumn("cosine", cosine)
@@ -1259,12 +1265,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = ev.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
     eb = ev.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     j = cand.join(ea, "a").join(eb, "b")
-    va, vb = F.col("va"), F.col("vb")
-    cosine = F.try_divide(
-        _hof_dot(va, vb), F.sqrt(_hof_dot(va, va)) * F.sqrt(_hof_dot(vb, vb))
-    )
+    from equi7grid_spark.dedup import cosine_seq
+
+    # vectorized sequential-order cosine (bit-identical to the former
+    # interpreted HOF chain — dedup.cosine_seq); Generate barrier keeps
+    # the threshold filter from duplicating the evaluation (guide §4.4)
+    cosine = cosine_seq(F.col("va"), F.col("vb"))
     return (
-        j.withColumn("cos_raw", cosine)
+        j.withColumn("cos_raw", F.explode(F.array(cosine)))
         .filter(F.col("cos_raw") >= 0.45)
         .select("a", "b", F.round("cos_raw", 9).alias("cosine"))
     )
@@ -1362,10 +1370,11 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
                   F.col("bucket").alias("cbucket"))
     j = q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("qid") != F.col("cid")))
-    qv, cv = F.col("qv"), F.col("cv")
-    cos = F.try_divide(
-        _hof_dot(qv, cv), F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
-    )
+    from equi7grid_spark.dedup import cosine_seq
+
+    # vectorized sequential-order cosine (bit-identical to the former
+    # interpreted HOF chain — dedup.cosine_seq)
+    cos = cosine_seq(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid").asc())
     return (
         j.withColumn("_cos", cos)
@@ -1740,12 +1749,24 @@ def _aeqd_inv(d: DataFrame) -> DataFrame:
     return with_aeqd_inverse(d, carry=["zc"])
 
 
-def _t6_counts_from_proj(proj: DataFrame) -> DataFrame:
-    """(zc, x, y) -> (tilename, subgrid, n); Spark twin of
-    _SQL_T6_COUNTS_FROM_PROJ."""
+def _t6_counts_from_keys(agg: DataFrame) -> DataFrame:
+    """(zc, tx, ty, n) -> (tilename, subgrid, n): post-agg tilename
+    formatting on the ~10^3 aggregate rows, never per input row."""
     from equi7grid_spark.functions.tiling import tilename
     from equi7grid_spark.operators.assign import subgrid_from_code
 
+    ts = 600000.0
+    sub = subgrid_from_code(F.col("zc"))
+    return agg.select(
+        tilename(sub, F.col("tx") * ts, F.col("ty") * ts, "T6").alias("tilename"),
+        sub.alias("subgrid"),
+        "n",
+    )
+
+
+def _t6_counts_from_proj(proj: DataFrame) -> DataFrame:
+    """(zc, x, y) -> (tilename, subgrid, n); Spark twin of
+    _SQL_T6_COUNTS_FROM_PROJ."""
     ts = 600000.0
     agg = (
         proj.select(
@@ -1756,12 +1777,7 @@ def _t6_counts_from_proj(proj: DataFrame) -> DataFrame:
         .groupBy("zc", "tx", "ty")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    sub = subgrid_from_code(F.col("zc"))
-    return agg.select(
-        tilename(sub, F.col("tx") * ts, F.col("ty") * ts, "T6").alias("tilename"),
-        sub.alias("subgrid"),
-        "n",
-    )
+    return _t6_counts_from_keys(agg)
 
 
 def _oracle_tile_roundtrip() -> str:
@@ -1795,14 +1811,47 @@ def q_tile_roundtrip_t6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes; the measured closure is < 1e-11 deg ≈ 1e-6 m against the
     600 km tile floor (reference xy_to_lonlat roundtrip semantics,
     tests/test_equi7grid.py:50-99)."""
+    from equi7grid_spark.operators import kernel
     from equi7grid_spark.operators.assign_jvm import with_zone_code_jvm
 
     # spread unless BOTH directions compile: with the jar, the chain is
-    # three kernel calls/row (cheap — the exchange costs more); without
-    # it, the ~30-project Column inverse is exactly the expensive
-    # per-row work spread_small_input exists for, and spreading also
-    # de-risks partial-core steal epochs (A/B r4: 3.3x under steal).
+    # one fused kernel call/row (cheap — the exchange costs more);
+    # without it, the ~30-project Column inverse is exactly the
+    # expensive per-row work spread_small_input exists for, and
+    # spreading also de-risks partial-core steal epochs (A/B r4: 3.3x
+    # under steal).
     pts = _derived_lonlat(spark, sf_dir, spread=_spread_unless_kernel(spark))
+    if kernel.kernel_available(spark):
+        # fused roundtrip kernel (round 7): zone resolve + fwd → inv →
+        # fwd + floor keying in ONE compiled call per row — the same
+        # Vincenty invocations as the former with_zone_code_jvm +
+        # xy_col → lonlat_col → xy_col chain (bit-identical doubles),
+        # minus two broadcast joins, the interpreted boundary-parity
+        # HOF and three per-row boxed-array UDF round-trips. Same
+        # one-scan/one-shuffle shape as the flagship (guide §2.4).
+        # Explode-of-one barrier: the isNotNull filter must not push
+        # down as a second evaluation of the (deterministic) UDF.
+        ts = 600000.0
+        keyed = pts.select(
+            F.explode(
+                F.array(
+                    kernel.roundtrip_zone_tile_key_col(
+                        F.col("lon"), F.col("lat"), ts
+                    )
+                )
+            ).alias("ztkey")
+        ).filter(F.col("ztkey").isNotNull())
+        agg = (
+            keyed.groupBy("ztkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                kernel.unpack_zc(F.col("ztkey")).alias("zc"),
+                kernel.unpack_tx(F.col("ztkey")).alias("tx"),
+                kernel.unpack_ty(F.col("ztkey")).alias("ty"),
+                "n",
+            )
+        )
+        return _t6_counts_from_keys(agg)
     zoned = (
         with_zone_code_jvm(pts)
         .filter(F.col("zc").isNotNull())
@@ -2155,10 +2204,11 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.broadcast(q).join(
         c, (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("cid"))
     )
-    qv, cv = F.col("qv"), F.col("cv")
-    cos = F.try_divide(
-        _hof_dot(qv, cv), F.sqrt(_hof_dot(qv, qv)) * F.sqrt(_hof_dot(cv, cv))
-    )
+    from equi7grid_spark.dedup import cosine_seq
+
+    # vectorized sequential-order cosine (bit-identical to the former
+    # interpreted HOF chain — dedup.cosine_seq)
+    cos = cosine_seq(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("qid").orderBy(F.col("_c").desc(), F.col("cid").asc())
     return (
         j.withColumn("_c", cos)
