@@ -23,6 +23,25 @@ final class Vincenty {
     static final double[] Y0 = {5990638.42298, 3402016.50625, 4812712.92347,
             2121415.69617, 7654884.53733, 4867518.35323, 5592024.44605};
 
+    // zone-center trigonometry hoisted out of the per-row path: the
+    // zone latitude is one of 7 constants, so U1 = atan((1-f) tan
+    // (phi1)) and its sin/cos (forward), and tanU1 (inverse) are
+    // class-init-time tables -- the SAME double ops on the SAME inputs
+    // as the former per-call computation, hence bit-identical results,
+    // minus ~4 transcendentals per row on the flagship hot path.
+    static final double[] SIN_U1 = new double[LAT0.length];
+    static final double[] COS_U1 = new double[LAT0.length];
+    static final double[] TAN_U1 = new double[LAT0.length];
+    static {
+        for (int z = 0; z < LAT0.length; z++) {
+            double phi1 = Math.toRadians(LAT0[z]);
+            double u1 = Math.atan((1.0 - FLAT) * Math.tan(phi1));
+            SIN_U1[z] = Math.sin(u1);
+            COS_U1[z] = Math.cos(u1);
+            TAN_U1[z] = (1.0 - FLAT) * Math.tan(phi1);
+        }
+    }
+
     private Vincenty() {}
 
     /** AEQD forward for zone code zc; writes {x, y} into out. */
@@ -31,9 +50,8 @@ final class Vincenty {
         double phi2 = Math.toRadians(lat);
         double L = Math.toRadians(
                 (((lon - LON0[zc]) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0);
-        double U1 = Math.atan((1.0 - FLAT) * Math.tan(phi1));
         double U2 = Math.atan((1.0 - FLAT) * Math.tan(phi2));
-        double sinU1 = Math.sin(U1), cosU1 = Math.cos(U1);
+        double sinU1 = SIN_U1[zc], cosU1 = COS_U1[zc];
         double sinU2 = Math.sin(U2), cosU2 = Math.cos(U2);
         double lam = L;
         double ss = 0.0, cs = 1.0, sig = 0.0, sa = 0.0, csa = 1.0, c2sm = 0.0;
@@ -81,7 +99,7 @@ final class Vincenty {
         double s = Math.hypot(dx, dy);
         double az1 = Math.atan2(dx, dy);
         double sinA1 = Math.sin(az1), cosA1 = Math.cos(az1);
-        double tanU1 = (1.0 - FLAT) * Math.tan(Math.toRadians(LAT0[zc]));
+        double tanU1 = TAN_U1[zc];
         double cosU1 = 1.0 / Math.sqrt(1.0 + tanU1 * tanU1);
         double sinU1 = tanU1 * cosU1;
         double sig1 = Math.atan2(tanU1, cosA1);
