@@ -724,20 +724,27 @@ def _emb_buckets_udf(col: Column, n_bands: int, n_planes: int) -> Column:
         import numpy as np
         import pandas as pd
 
+        # per-dim plane matrices cached across batches (guide §4.5 —
+        # heavyweight init once per task, not per batch: the 8*16*dim
+        # splitmix evaluations are pure-Python)
+        planes: dict = {}
+
         @F.pandas_udf("array<int>")
         def buckets(v: pd.Series) -> pd.Series:
             if not len(v):
                 return pd.Series([], dtype=object)
             V = np.array(v.tolist(), dtype=np.float64)
             dim = V.shape[1]
-            P = np.array(
-                [
-                    [emb_plane_value(b, p, d) for d in range(dim)]
-                    for b in range(n_bands)
-                    for p in range(n_planes)
-                ],
-                dtype=np.float64,
-            )
+            P = planes.get(dim)
+            if P is None:
+                P = planes[dim] = np.array(
+                    [
+                        [emb_plane_value(b, p, d) for d in range(dim)]
+                        for b in range(n_bands)
+                        for p in range(n_planes)
+                    ],
+                    dtype=np.float64,
+                )
             S = (V @ P.T) > 0  # (n, n_bands*n_planes)
             w = (1 << np.arange(n_planes)).astype(np.int64)
             out = np.einsum(
